@@ -1,0 +1,156 @@
+"""Model configuration dataclasses and the name->config registry.
+
+One dataclass+dict registry replaces the reference's four config idioms
+(SURVEY.md §5): open_clip's JSON model_configs (factory.py:69-79), argparse
+flags, HF dataclasses, and per-model dict registries. Shapes follow the
+reference model_configs/*.json files exactly so converted checkpoints load.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    head_width: int = 64
+    mlp_ratio: float = 4.0
+    pool_type: str = "tok"  # 'tok' | 'avg' | 'none'
+    no_ln_pre: bool = False
+    final_ln_after_pool: bool = False
+
+    @property
+    def heads(self) -> int:
+        return self.width // self.head_width
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    pool_type: str = "argmax"  # 'argmax' | 'first' | 'last' | 'none'
+    no_causal_mask: bool = False
+    pad_id: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 512
+    vision: VisionConfig = dataclasses.field(default_factory=VisionConfig)
+    text: TextConfig = dataclasses.field(default_factory=TextConfig)
+    quick_gelu: bool = False
+    init_logit_scale: float = 2.6592  # ln(1/0.07)
+    init_logit_bias: Optional[float] = None  # set for SigLIP-style models
+
+    def replace(self, **kw) -> "CLIPConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _cfg(
+    embed_dim: int,
+    vision: Dict[str, Any],
+    text: Dict[str, Any],
+    **kw,
+) -> CLIPConfig:
+    return CLIPConfig(
+        embed_dim=embed_dim,
+        vision=VisionConfig(**vision),
+        text=TextConfig(**text),
+        **kw,
+    )
+
+
+# Tower shapes mirror reference open_clip/src/open_clip/model_configs/<name>.json.
+MODEL_CONFIGS: Dict[str, CLIPConfig] = {
+    "ViT-B-32": _cfg(
+        512,
+        dict(image_size=224, patch_size=32, width=768, layers=12),
+        dict(width=512, heads=8, layers=12),
+    ),
+    "ViT-B-16": _cfg(
+        512,
+        dict(image_size=224, patch_size=16, width=768, layers=12),
+        dict(width=512, heads=8, layers=12),
+    ),
+    "ViT-L-14": _cfg(
+        768,
+        dict(image_size=224, patch_size=14, width=1024, layers=24),
+        dict(width=768, heads=12, layers=12),
+    ),
+    "ViT-L-14-336": _cfg(
+        768,
+        dict(image_size=336, patch_size=14, width=1024, layers=24),
+        dict(width=768, heads=12, layers=12),
+    ),
+    "ViT-H-14": _cfg(
+        1024,
+        dict(image_size=224, patch_size=14, width=1280, layers=32, head_width=80),
+        dict(width=1024, heads=16, layers=24),
+    ),
+    "ViT-g-14": _cfg(
+        1024,
+        dict(image_size=224, patch_size=14, width=1408, layers=40, head_width=88,
+             mlp_ratio=4.3637),
+        dict(width=1024, heads=16, layers=24),
+    ),
+    "ViT-bigG-14": _cfg(
+        1280,
+        dict(image_size=224, patch_size=14, width=1664, layers=48, head_width=104,
+             mlp_ratio=4.9231),
+        dict(width=1280, heads=20, layers=32),
+    ),
+    # EVA01-g-14 vision tower re-expressed as a native ViT (the reference wraps
+    # timm's eva_giant_patch14_224; here it is the same transformer family).
+    "EVA01-g-14": _cfg(
+        1024,
+        dict(image_size=224, patch_size=14, width=1408, layers=40, head_width=88,
+             mlp_ratio=4.3637),
+        dict(width=768, heads=12, layers=12),
+    ),
+}
+
+# A tiny config for tests/CI — not in the reference.
+MODEL_CONFIGS["test-tiny"] = _cfg(
+    64,
+    dict(image_size=32, patch_size=16, width=64, layers=2, head_width=32),
+    dict(width=64, heads=2, layers=2, vocab_size=49408),
+)
+
+
+# (model, pretrained_tag) pairs that use QuickGELU activations. OpenAI weights
+# always do (reference factory.py quick_gelu routing / pretrained.py 'openai').
+_QUICK_GELU_TAGS = {"openai"}
+
+
+def get_model_config(name: str, pretrained: Optional[str] = None) -> CLIPConfig:
+    """Resolve a model name (+ optional pretrained tag) to a CLIPConfig."""
+    key = name.replace("/", "-")
+    if key not in MODEL_CONFIGS:
+        raise KeyError(
+            f"unknown model {name!r}; known: {sorted(MODEL_CONFIGS)}"
+        )
+    cfg = MODEL_CONFIGS[key]
+    if pretrained in _QUICK_GELU_TAGS or key.endswith("-quickgelu"):
+        cfg = cfg.replace(quick_gelu=True)
+    return cfg
+
+
+def list_models() -> Tuple[str, ...]:
+    return tuple(sorted(MODEL_CONFIGS))

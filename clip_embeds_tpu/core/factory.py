@@ -1,0 +1,120 @@
+"""Model factory: name -> (model, params), plus preprocess/tokenizer bundles.
+
+TPU-native analogue of the reference factory (open_clip/src/open_clip/
+factory.py:241-615 create_model, 822-960 create_model_and_transforms). Weight
+sources are local files (torch .pt, numpy .npz, or orbax dirs) — there is no
+network download path here; the torch converter handles the reference's
+pretrained formats.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.clip import CLIP
+from ..text.tokenizer import get_tokenizer
+from .config import CLIPConfig, get_model_config
+from .torch_convert import load_torch_checkpoint
+
+
+def create_model(
+    name: str,
+    pretrained: Optional[str] = None,
+    dtype: Any = jnp.float32,
+    attn_impl: str = "auto",
+    remat: bool = False,
+    seed: int = 0,
+) -> Tuple[CLIP, Dict[str, Any]]:
+    """Build a CLIP model and its params.
+
+    ``pretrained`` may be:
+      * None — random init
+      * 'openai' / another tag — sets QuickGELU etc. but still random init
+        unless CLIP_EMBEDS_CKPT_DIR contains '<name>__<tag>.{pt,npz}'
+      * a path to a torch checkpoint (.pt/.pth/.bin), .npz, or orbax dir
+    """
+    cfg = get_model_config(name, pretrained)
+    model = CLIP(cfg, dtype=dtype, attn_impl=attn_impl, remat=remat)
+
+    params = None
+    path = None
+    if pretrained and os.path.exists(pretrained):
+        path = pretrained
+    elif pretrained:
+        ckpt_dir = os.environ.get("CLIP_EMBEDS_CKPT_DIR", "")
+        for ext in (".pt", ".pth", ".bin", ".npz"):
+            cand = os.path.join(ckpt_dir, f"{name}__{pretrained}{ext}")
+            if ckpt_dir and os.path.exists(cand):
+                path = cand
+                break
+
+    if path is not None:
+        params = load_params(path)
+    else:
+        params = init_params(model, cfg, seed=seed)
+    return model, params
+
+
+def init_params(model: CLIP, cfg: CLIPConfig, seed: int = 0) -> Dict[str, Any]:
+    images = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3))
+    text = jnp.zeros((1, cfg.text.context_length), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(seed), images, text)
+    return variables["params"]
+
+
+def load_params(path: str) -> Dict[str, Any]:
+    if path.endswith((".pt", ".pth", ".bin")):
+        return load_torch_checkpoint(path)
+    if path.endswith(".npz"):
+        flat = dict(np.load(path))
+        return unflatten_params(flat)
+    from . import checkpoint as ckpt
+
+    return ckpt.load(path)
+
+
+def save_params_npz(params: Dict[str, Any], path: str) -> None:
+    np.savez(path, **flatten_params(params))
+
+
+def flatten_params(params: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    flat: Dict[str, np.ndarray] = {}
+    for k, v in params.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            flat.update(flatten_params(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def unflatten_params(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def create_model_and_transforms(
+    name: str,
+    pretrained: Optional[str] = None,
+    **kw,
+):
+    """(model, params, preprocess_fn, tokenizer) bundle like the reference API."""
+    from ..image.preprocess import preprocess_clip
+
+    model, params = create_model(name, pretrained, **kw)
+    size = model.cfg.vision.image_size
+    preprocess = functools.partial(preprocess_clip, image_size=size)
+    tokenizer = get_tokenizer(model.cfg.text.context_length)
+    return model, params, preprocess, tokenizer

@@ -1,0 +1,128 @@
+"""Image preprocessing: host-side PIL parity path + fused on-device JAX path.
+
+Two pipelines, mirroring the two (inconsistent) reference conventions:
+
+* ``clip``: shortest-edge bicubic resize -> center crop -> scale -> normalize
+  with OpenAI CLIP stats (reference open_clip/src/open_clip/transform.py:274-390,
+  eval 'shortest' branch).
+* ``pacl``: squash-resize the full image to (S, S) bilinear -> normalize with
+  ImageNet stats (reference Patch-Aligned-Contrastive-Learning/data/utils.py:30-55
+  — note it really does use ImageNet stats, not CLIP's).
+
+The PIL functions give float parity with the torchvision eval transforms for
+accuracy work. ``jax_preprocess`` is the production path: a jittable
+uint8 [B,H,W,3] -> normalized float batch op that fuses with the encoder so no
+per-sample host work sits on the hot path (SURVEY.md §7 throughput lever).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core.constants import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    OPENAI_DATASET_MEAN,
+    OPENAI_DATASET_STD,
+)
+
+ImageLike = Union[str, Image.Image, np.ndarray]
+
+
+def _to_pil(image: ImageLike) -> Image.Image:
+    if isinstance(image, str):
+        image = Image.open(image)
+    elif isinstance(image, np.ndarray):
+        image = Image.fromarray(image)
+    return image.convert("RGB")
+
+
+def _resize_shortest(img: Image.Image, size: int) -> Image.Image:
+    """Resize so the shortest edge equals `size` (torchvision Resize(int))."""
+    w, h = img.size
+    short, long = (w, h) if w <= h else (h, w)
+    if short == size:
+        return img
+    new_short = size
+    new_long = int(round(size * long / short))
+    new_w, new_h = (new_short, new_long) if w <= h else (new_long, new_short)
+    return img.resize((new_w, new_h), Image.BICUBIC)
+
+
+def _center_crop(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    left = int(round((w - size) / 2.0))
+    top = int(round((h - size) / 2.0))
+    return img.crop((left, top, left + size, top + size))
+
+
+def _normalize(arr: np.ndarray, mean: Sequence[float], std: Sequence[float]) -> np.ndarray:
+    arr = arr.astype(np.float32) / 255.0
+    arr = (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    return arr
+
+
+def preprocess_clip(image: ImageLike, image_size: int = 336) -> np.ndarray:
+    """CLIP eval transform -> float32 [H, W, 3] (channels-last for TPU)."""
+    img = _to_pil(image)
+    img = _resize_shortest(img, image_size)
+    img = _center_crop(img, image_size)
+    return _normalize(np.asarray(img), OPENAI_DATASET_MEAN, OPENAI_DATASET_STD)
+
+
+def preprocess_pacl(image: ImageLike, image_size: int = 336) -> np.ndarray:
+    """PACL eval transform (squash resize, ImageNet stats) -> float32 [H, W, 3].
+
+    The reference applies ToTensor first and resizes the tensor bilinearly with
+    antialiasing; PIL BILINEAR resize of the uint8 image matches to within fp
+    tolerance for the argmax-based benchmarks.
+    """
+    img = _to_pil(image)
+    img = img.resize((image_size, image_size), Image.BILINEAR)
+    return _normalize(np.asarray(img), IMAGENET_MEAN, IMAGENET_STD)
+
+
+def preprocess_batch(
+    images: Sequence[ImageLike],
+    image_size: int = 336,
+    variant: str = "clip",
+) -> np.ndarray:
+    fn = preprocess_clip if variant == "clip" else preprocess_pacl
+    return np.stack([fn(im, image_size) for im in images])
+
+
+# -- On-device path -------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "variant", "dtype"))
+def jax_preprocess(
+    batch_u8: jax.Array,
+    image_size: int = 336,
+    variant: str = "clip",
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Fused on-device preprocess: uint8 [B,H,W,3] -> [B,S,S,3] normalized.
+
+    Uses squash resize (static shapes; XLA-friendly). For the common case where
+    the host already decoded to a fixed HxW, this runs entirely on device and
+    fuses with the patch embedding under one jit.
+    """
+    if variant == "clip":
+        mean, std = OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+        method = "bicubic"
+    else:
+        mean, std = IMAGENET_MEAN, IMAGENET_STD
+        method = "bilinear"
+    x = batch_u8.astype(jnp.float32) / 255.0
+    b = x.shape[0]
+    if x.shape[1] != image_size or x.shape[2] != image_size:
+        x = jax.image.resize(x, (b, image_size, image_size, 3), method=method)
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return ((x - mean) / std).astype(dtype)

@@ -1,0 +1,97 @@
+"""Dual-tower CLIP model (flax.linen).
+
+Functional equivalent of the reference CLIP (open_clip/src/open_clip/model.py:
+222-436): vision + text towers, learned temperature, normalized features.
+The forward returns a dict like the reference's output_dict mode (model.py:
+415-436).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.config import CLIPConfig
+from .text_transformer import TextTransformer
+from .vit import VisionTransformer
+
+Dtype = Any
+
+LOGIT_SCALE_MAX = 4.6052  # ln(100), clamp applied in the train step
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+class CLIP(nn.Module):
+    cfg: CLIPConfig
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    def setup(self):
+        self.visual = VisionTransformer(
+            self.cfg.vision, self.cfg.embed_dim, self.cfg.quick_gelu,
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+        )
+        self.text = TextTransformer(
+            self.cfg.text, self.cfg.embed_dim, self.cfg.quick_gelu,
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+        )
+        self.logit_scale = self.param(
+            "logit_scale",
+            nn.initializers.constant(self.cfg.init_logit_scale),
+            (),
+        )
+        if self.cfg.init_logit_bias is not None:
+            self.logit_bias = self.param(
+                "logit_bias",
+                nn.initializers.constant(self.cfg.init_logit_bias),
+                (),
+            )
+        else:
+            self.logit_bias = None
+
+    def encode_image(
+        self, images: jax.Array, normalize: bool = False, output_tokens: bool = False
+    ):
+        pooled, tokens = self.visual(images)
+        if normalize:
+            pooled = l2_normalize(pooled)
+        return (pooled, tokens) if output_tokens else pooled
+
+    def encode_text(
+        self, text_ids: jax.Array, normalize: bool = False, output_tokens: bool = False
+    ):
+        pooled, tokens = self.text(text_ids)
+        if normalize:
+            pooled = l2_normalize(pooled)
+        return (pooled, tokens) if output_tokens else pooled
+
+    def __call__(
+        self,
+        images: Optional[jax.Array] = None,
+        text_ids: Optional[jax.Array] = None,
+    ) -> Dict[str, jax.Array]:
+        out: Dict[str, jax.Array] = {"logit_scale": jnp.exp(self.logit_scale)}
+        if images is not None:
+            out["image_features"] = self.encode_image(images, normalize=True)
+        if text_ids is not None:
+            out["text_features"] = self.encode_text(text_ids, normalize=True)
+        if self.logit_bias is not None:
+            out["logit_bias"] = self.logit_bias
+        return out
+
+    def get_logits(self, images: jax.Array, text_ids: jax.Array):
+        """(logits_per_image, logits_per_text) — reference model.py:322-330."""
+        img = self.encode_image(images, normalize=True)
+        txt = self.encode_text(text_ids, normalize=True)
+        logits = jnp.exp(self.logit_scale) * img @ txt.T
+        if self.logit_bias is not None:
+            logits = logits + self.logit_bias
+        return logits, logits.T

@@ -1,0 +1,136 @@
+"""Shared transformer building blocks (flax.linen).
+
+Pre-LN residual blocks matching the reference architecture
+(open_clip/src/open_clip/transformer.py:213-268): x += attn(ln_1(x));
+x += mlp(ln_2(x)), with QuickGELU for OpenAI-pretrained towers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention
+
+Dtype = Any
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def exact_gelu(x: jax.Array) -> jax.Array:
+    # torch nn.GELU default is the exact erf form (flax nn.gelu defaults to
+    # the tanh approximation, which breaks checkpoint parity).
+    return jax.nn.gelu(x, approximate=False)
+
+
+def get_act(quick: bool) -> Callable[[jax.Array], jax.Array]:
+    return quick_gelu if quick else exact_gelu
+
+
+class MultiHeadAttention(nn.Module):
+    """Packed-QKV multi-head attention (torch nn.MultiheadAttention layout)."""
+
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        causal: bool = False,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, n, _ = x.shape
+        head_dim = self.width // self.heads
+        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(b, n, self.heads, head_dim).transpose(0, 2, 1, 3)
+
+        out = dot_product_attention(
+            split_heads(q), split_heads(k), split_heads(v),
+            causal=causal, mask=mask, impl=self.attn_impl,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.width)
+        return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
+
+
+class MLP(nn.Module):
+    width: int
+    mlp_ratio: float = 4.0
+    quick_gelu: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        hidden = int(self.width * self.mlp_ratio)
+        x = nn.Dense(hidden, dtype=self.dtype, name="c_fc")(x)
+        x = get_act(self.quick_gelu)(x)
+        return nn.Dense(self.width, dtype=self.dtype, name="c_proj")(x)
+
+
+class ResidualAttentionBlock(nn.Module):
+    width: int
+    heads: int
+    mlp_ratio: float = 4.0
+    quick_gelu: bool = False
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        causal: bool = False,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        attn = MultiHeadAttention(
+            self.width, self.heads, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="attn",
+        )
+        x = x + attn(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x),
+                     causal=causal, mask=mask)
+        mlp = MLP(self.width, self.mlp_ratio, self.quick_gelu,
+                  dtype=self.dtype, name="mlp")
+        x = x + mlp(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x))
+        return x
+
+
+class Transformer(nn.Module):
+    """Stack of residual blocks with optional rematerialization."""
+
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: float = 4.0
+    quick_gelu: bool = False
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        causal: bool = False,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(1,))
+        for i in range(self.layers):
+            block = block_cls(
+                self.width, self.heads, self.mlp_ratio, self.quick_gelu,
+                dtype=self.dtype, attn_impl=self.attn_impl, name=f"resblocks_{i}",
+            )
+            x = block(x, causal, mask) if self.remat else block(
+                x, causal=causal, mask=mask)
+        return x

@@ -1,0 +1,115 @@
+"""Vision Transformer tower (flax.linen), channels-last and MXU-friendly.
+
+Matches the reference tower (open_clip/src/open_clip/transformer.py:515-836):
+patchify -> [CLS; patches] + learned pos embed -> ln_pre -> pre-LN blocks ->
+ln_post -> pool ('tok') -> linear projection. Patchify is expressed as a
+reshape + one large matmul (identical math to the stride-p conv at
+transformer.py:549-556 but guaranteed to tile onto the MXU).
+
+Always returns (pooled, tokens) — the callers decide what to keep, subsuming
+the reference's mutable ``output_tokens`` flag (transformer.py:833-834).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.config import VisionConfig
+from .layers import Transformer
+
+Dtype = Any
+
+
+def patchify(images: jax.Array, patch_size: int) -> jax.Array:
+    """[B, H, W, C] -> [B, gh*gw, p*p*C] with (ph, pw, c) minor ordering."""
+    b, h, w, c = images.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = images.reshape(b, gh, p, gw, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, p, p, C]
+    return x.reshape(b, gh * gw, p * p * c)
+
+
+def interpolate_pos_embed(
+    pos_embed: jax.Array, old_grid: int, new_grid: int
+) -> jax.Array:
+    """Bilinearly resample the patch grid of a [1+N, D] pos embed to a new grid.
+
+    Reference behaviour: PACL's 196->625 interpolation
+    (Patch-Aligned-Contrastive-Learning/model/pacl.py:103-110), torch
+    F.interpolate(bilinear, align_corners=False) == jax.image.resize bilinear.
+    """
+    cls_pe, patch_pe = pos_embed[:1], pos_embed[1:]
+    d = patch_pe.shape[-1]
+    grid = patch_pe.reshape(old_grid, old_grid, d)
+    grid = jax.image.resize(grid, (new_grid, new_grid, d), method="bilinear")
+    return jnp.concatenate([cls_pe, grid.reshape(new_grid * new_grid, d)], axis=0)
+
+
+class VisionTransformer(nn.Module):
+    cfg: VisionConfig
+    embed_dim: int
+    quick_gelu: bool = False
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """images: [B, H, W, 3] float -> (pooled [B, embed_dim], tokens [B, N, W])."""
+        cfg = self.cfg
+        b = images.shape[0]
+        scale = cfg.width ** -0.5
+
+        x = patchify(images.astype(self.dtype), cfg.patch_size)
+        x = nn.Dense(
+            cfg.width, use_bias=False, dtype=self.dtype, name="patch_embed"
+        )(x)
+
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(scale), (cfg.width,)
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (b, 1, cfg.width)), x], axis=1
+        )
+        num_pos = x.shape[1]
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(scale),
+            (num_pos, cfg.width),
+        )
+        x = x + pos.astype(self.dtype)
+
+        if not cfg.no_ln_pre:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
+
+        x = Transformer(
+            cfg.width, cfg.layers, cfg.heads, cfg.mlp_ratio, self.quick_gelu,
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+            name="transformer",
+        )(x)
+
+        ln_post = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")
+        if cfg.final_ln_after_pool:
+            pooled, tokens = self._pool(x)
+            pooled = ln_post(pooled)
+        else:
+            x = ln_post(x)
+            pooled, tokens = self._pool(x)
+
+        proj = self.param(
+            "proj", nn.initializers.normal(scale), (cfg.width, self.embed_dim)
+        )
+        pooled = pooled @ proj.astype(self.dtype)
+        return pooled, tokens
+
+    def _pool(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        if self.cfg.pool_type == "avg":
+            return x[:, 1:].mean(axis=1), x[:, 1:]
+        if self.cfg.pool_type == "tok":
+            return x[:, 0], x[:, 1:]
+        return x, x

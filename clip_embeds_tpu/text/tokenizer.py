@@ -1,0 +1,221 @@
+"""Byte-level BPE tokenizer with CLIP semantics, emitting numpy arrays for JAX.
+
+From-scratch reimplementation of the OpenAI CLIP tokenizer contract (see
+reference open_clip/src/open_clip/tokenizer.py:133-265 for the behaviour being
+matched): lower-case whitespace cleanup, byte->unicode remapping, greedy
+lowest-rank BPE merges with an end-of-word marker, <start_of_text>/<end_of_text>
+specials, fixed context length with zero padding and EOT-preserving truncation.
+
+The vocabulary file ``bpe_simple_vocab_16e6.txt.gz`` is the standard public
+OpenAI CLIP BPE merge table (MIT licensed *data*, not code); token ids produced
+here are bit-identical to the reference tokenizer so converted checkpoints see
+the same token stream.
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import html
+import os
+from typing import Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+import regex as re
+
+try:  # pragma: no cover - optional dependency
+    import ftfy
+
+    _fix_text = ftfy.fix_text
+except ImportError:  # clean ASCII input is unaffected by ftfy
+    def _fix_text(text: str) -> str:
+        return text
+
+DEFAULT_CONTEXT_LENGTH = 77
+
+_WORD_PATTERN = (
+    r"""'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
+)
+
+
+@functools.lru_cache()
+def default_bpe_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "bpe_simple_vocab_16e6.txt.gz")
+
+
+@functools.lru_cache()
+def byte_to_unicode() -> dict:
+    """Invertible map from the 256 byte values to printable unicode chars.
+
+    Printable bytes map to themselves; the rest are shifted past 0x100 so BPE
+    never sees whitespace/control characters.
+    """
+    printable = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    # Insertion order matters for vocab id assignment: printable bytes first,
+    # then the shifted remainder in ascending byte order.
+    ordered = {b: chr(b) for b in printable}
+    shifted = 0
+    for b in range(256):
+        if b not in ordered:
+            ordered[b] = chr(256 + shifted)
+            shifted += 1
+    return ordered
+
+
+def basic_clean(text: str) -> str:
+    text = _fix_text(text)
+    text = html.unescape(html.unescape(text))
+    return text.strip()
+
+
+def whitespace_clean(text: str) -> str:
+    return " ".join(text.split()).strip()
+
+
+def _clean_lower(text: str) -> str:
+    return whitespace_clean(basic_clean(text)).lower()
+
+
+def _clean_whitespace(text: str) -> str:
+    return whitespace_clean(basic_clean(text))
+
+
+_CLEAN_FNS = {
+    "lower": _clean_lower,
+    "whitespace": _clean_whitespace,
+}
+
+
+class BPETokenizer:
+    """CLIP byte-BPE tokenizer (vocab 49408, context 77 by default).
+
+    Vocabulary id layout (must stay fixed for checkpoint compatibility):
+    [0, 256)       byte units
+    [256, 512)     byte units + '</w>'
+    [512, 49406)   merge results, in merge-rank order
+    49406, 49407   <start_of_text>, <end_of_text>
+    """
+
+    def __init__(
+        self,
+        bpe_path: Optional[str] = None,
+        context_length: Optional[int] = DEFAULT_CONTEXT_LENGTH,
+        clean: str = "lower",
+        additional_special_tokens: Optional[List[str]] = None,
+    ):
+        bpe_path = bpe_path or default_bpe_path()
+        self.byte_encoder = byte_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+
+        with gzip.open(bpe_path, "rt", encoding="utf-8") as fh:
+            lines = fh.read().split("\n")
+        # Header line, then exactly enough merges to fill a 49152-sized space
+        # minus 256 raw byte slots and 2 specials (the canonical slice).
+        merges = [tuple(line.split()) for line in lines[1 : 49152 - 256 - 2 + 1]]
+
+        vocab: List[str] = list(self.byte_encoder.values())
+        vocab += [ch + "</w>" for ch in self.byte_encoder.values()]
+        vocab += ["".join(pair) for pair in merges]
+        specials = ["<start_of_text>", "<end_of_text>"]
+        if additional_special_tokens:
+            specials = specials + list(additional_special_tokens)
+        vocab += specials
+
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        self.decoder = {i: tok for tok, i in self.encoder.items()}
+        self.merge_ranks = {pair: i for i, pair in enumerate(merges)}
+        self._cache = {tok: tok for tok in specials}
+        self.pattern = re.compile(
+            "|".join(specials) + "|" + _WORD_PATTERN, re.IGNORECASE
+        )
+        self.vocab_size = len(vocab)
+        self.all_special_ids = [self.encoder[t] for t in specials]
+        self.sot_token_id = self.encoder["<start_of_text>"]
+        self.eot_token_id = self.encoder["<end_of_text>"]
+        self.context_length = context_length
+        self.clean_fn = _CLEAN_FNS[clean]
+
+    # -- BPE core ---------------------------------------------------------
+
+    def _bpe(self, token: str) -> List[str]:
+        """Greedy lowest-rank merge loop over one pre-tokenized word."""
+        cached = self._cache.get(token)
+        if cached is not None:
+            return cached.split(" ")
+
+        parts: List[str] = list(token[:-1]) + [token[-1] + "</w>"]
+        while len(parts) > 1:
+            best_rank = None
+            best_idx = -1
+            for i in range(len(parts) - 1):
+                rank = self.merge_ranks.get((parts[i], parts[i + 1]))
+                if rank is not None and (best_rank is None or rank < best_rank):
+                    best_rank = rank
+                    best_idx = i
+            if best_rank is None:
+                break
+            merged = parts[best_idx] + parts[best_idx + 1]
+            # Merge *every* occurrence of this pair left-to-right, matching
+            # canonical BPE semantics.
+            out: List[str] = []
+            i = 0
+            first, second = parts[best_idx], parts[best_idx + 1]
+            while i < len(parts):
+                if i < len(parts) - 1 and parts[i] == first and parts[i + 1] == second:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            parts = out
+
+        self._cache[token] = " ".join(parts)
+        return parts
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        text = self.clean_fn(text)
+        for word in re.findall(self.pattern, text):
+            word_bytes = "".join(self.byte_encoder[b] for b in word.encode("utf-8"))
+            ids.extend(self.encoder[piece] for piece in self._bpe(word_bytes))
+        return ids
+
+    def decode(self, ids: Iterable[int]) -> str:
+        text = "".join(self.decoder[int(i)] for i in ids)
+        raw = bytearray(self.byte_decoder[c] for c in text)
+        return raw.decode("utf-8", errors="replace").replace("</w>", " ")
+
+    # -- Batched API ------------------------------------------------------
+
+    def __call__(
+        self,
+        texts: Union[str, Sequence[str]],
+        context_length: Optional[int] = None,
+    ) -> np.ndarray:
+        """Tokenize to a zero-padded int32 array of shape [B, context_length].
+
+        Over-long sequences are truncated with the EOT id forced into the last
+        slot (reference tokenizer.py:256-263 semantics).
+        """
+        if isinstance(texts, str):
+            texts = [texts]
+        context_length = context_length or self.context_length
+        assert context_length, "context_length must be set"
+
+        result = np.zeros((len(texts), context_length), dtype=np.int32)
+        for row, text in enumerate(texts):
+            ids = [self.sot_token_id] + self.encode(text) + [self.eot_token_id]
+            if len(ids) > context_length:
+                ids = ids[:context_length]
+                ids[-1] = self.eot_token_id
+            result[row, : len(ids)] = ids
+        return result
+
+
+@functools.lru_cache()
+def get_tokenizer(context_length: int = DEFAULT_CONTEXT_LENGTH) -> BPETokenizer:
+    return BPETokenizer(context_length=context_length)
