@@ -1,0 +1,139 @@
+"""Pallas TPU fused attention kernel.
+
+Replaces the reference's external CUDA attention (flash-attention-2 at
+VLM2Vec/src/vlm_backbone/qwen2_vl/modeling_qwen2_vl.py:50-55, torch SDPA at
+open_clip/src/open_clip/transformer.py:161-166) with a TPU-native kernel.
+
+Design point: the stack's sequence lengths are short (577 ViT tokens @336px,
+77 text tokens, <=2048 for LLaVA — SURVEY.md §5 "long context"), so the whole
+K/V block for one (batch, head) fits comfortably in VMEM. The kernel therefore
+blocks over Q only and computes an exact row softmax per Q tile — no online
+rescaling passes — with fp32 logits on the MXU and bf16 IO. Padded KV columns
+are masked via the static valid length; Q is padded by the wrapper and sliced
+back.
+
+Backward currently runs through the XLA reference attention via custom_vjp
+(exact same math); a fused backward kernel is a later optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+    kv_valid: int, block_q: int,
+):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)          # [block_q, D]
+    k = k_ref[0].astype(jnp.float32)          # [N, D]
+    v = v_ref[0].astype(jnp.float32)          # [N, D]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                  # [block_q, N]
+
+    n = s.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, n), 1)
+    mask = col < kv_valid
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, n), 0)
+        mask = jnp.logical_and(mask, col <= row + qi * block_q)
+    s = jnp.where(mask, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def _flash_attention_fwd_impl(
+    q: jax.Array, k: jax.Array, v: jax.Array, causal: bool, block_q: int
+) -> jax.Array:
+    """q,k,v: [B, H, N, D] -> [B, H, N, D]."""
+    b, h, n, d = q.shape
+    scale = d ** -0.5
+    n_pad = _round_up(n, block_q)
+    if n_pad != n:
+        pad = [(0, 0), (0, 0), (0, n_pad - n), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    bh = b * h
+    qf = q.reshape(bh, n_pad, d)
+    kf = k.reshape(bh, n_pad, d)
+    vf = v.reshape(bh, n_pad, d)
+
+    grid = (bh, n_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel, scale=scale, causal=causal,
+            kv_valid=n, block_q=block_q,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bhi, qi: (bhi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda bhi, qi: (bhi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda bhi, qi: (bhi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bhi, qi: (bhi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n_pad * n_pad * d,
+            bytes_accessed=4 * bh * n_pad * d * q.dtype.itemsize,
+            transcendentals=bh * n_pad * n_pad,
+        ),
+    )(qf, kf, vf)
+    out = out.reshape(b, h, n_pad, d)
+    return out[:, :, :n, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    block_q: int = 128,
+) -> jax.Array:
+    """Fused TPU attention on [B, H, N, D]; D <= 128, any N (padded inside)."""
+    return _flash_attention_fwd_impl(q, k, v, causal, block_q)
+
+
+def _fwd(q, k, v, causal, block_q):
+    return _flash_attention_fwd_impl(q, k, v, causal, block_q), (q, k, v)
+
+
+def _bwd(causal, block_q, residuals, g):
+    from .attention import reference_attention
+
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: reference_attention(q_, k_, v_, causal=causal),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)

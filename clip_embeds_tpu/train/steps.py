@@ -1,0 +1,135 @@
+"""pjit training steps for CLIP-style contrastive training.
+
+The hot loop equivalent of the reference train_one_epoch
+(open_clip/src/open_clip_train/train.py:64-248): forward both towers, global
+contrastive loss, AdamW update, logit-scale clamp to ln(100) (train.py:187-189).
+Under a data-sharded mesh the same jitted function runs 1..N chips; XLA inserts
+the feature all-gathers (SURVEY.md §2e). No GradScaler — bf16 on TPU needs none
+(reference precision.py is CUDA AMP machinery).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses.clip_loss import clip_loss, clip_loss_hard_text, clip_metrics
+from ..losses.siglip import siglip_loss
+from .grad_cache import cache_grad_step
+
+LOGIT_SCALE_MAX = 4.6052  # ln(100)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads):
+        updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
+        params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=params, opt_state=opt_state)
+
+
+def _clamp_logit_scale(params):
+    if "logit_scale" in params:
+        params = dict(params)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], None, LOGIT_SCALE_MAX)
+    return params
+
+
+def make_clip_train_step(
+    model,
+    use_siglip: bool = False,
+    use_hard_text: bool = False,
+    grad_cache_chunks: int = 0,
+) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict]]:
+    """Build a jittable CLIP train step.
+
+    batch keys: 'images' [B,H,W,3], 'texts' [B,ctx]; with use_hard_text also
+    'hard_texts' [H,ctx] and optional 'hard_valid' [H] bool.
+    """
+
+    def compute_loss(params, batch):
+        out = model.apply(
+            {"params": params}, batch["images"], batch["texts"]
+        )
+        img, txt = out["image_features"], out["text_features"]
+        scale = out["logit_scale"]
+        bias = out.get("logit_bias")
+        if use_hard_text:
+            hard = model.apply(
+                {"params": params}, batch["hard_texts"],
+                normalize=True, method="encode_text",
+            )
+            loss = clip_loss_hard_text(
+                img, txt, hard, scale, hard_valid=batch.get("hard_valid")
+            )
+        elif use_siglip:
+            loss = siglip_loss(img, txt, scale, bias)
+        else:
+            loss = clip_loss(img, txt, scale, bias)
+        metrics = clip_metrics(img, txt, scale)
+        metrics["logit_scale"] = scale
+        return loss, metrics
+
+    def encode(params, chunk):
+        out = model.apply({"params": params}, chunk["images"], chunk["texts"])
+        return {"img": out["image_features"], "txt": out["text_features"]}
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        if grad_cache_chunks > 1:
+            scale = jnp.exp(state.params["logit_scale"])
+
+            def rep_loss(reps):
+                return clip_loss(reps["img"], reps["txt"], scale)
+
+            loss, grads = cache_grad_step(
+                encode, rep_loss, state.params, batch, grad_cache_chunks
+            )
+            metrics = {"logit_scale": scale}
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params, batch)
+        state = state.apply_gradients(grads)
+        state = state.replace(params=_clamp_logit_scale(state.params))
+        metrics = dict(metrics, loss=loss)
+        return state, metrics
+
+    return train_step
+
+
+def make_frozen_tower_train_step(
+    loss_of_params: Callable[[Any, Any, Dict], Tuple[jax.Array, Dict]],
+) -> Callable:
+    """Train step where only a head subtree is trainable (PACL/SPARC pattern:
+    frozen CLIP tower under stop_gradient, trainable projections —
+    reference train_pacl.py / pacl.py:97).
+
+    loss_of_params(trainable, frozen, batch) -> (loss, metrics)
+    """
+
+    def train_step(state: TrainState, frozen_params, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_of_params, has_aux=True
+        )(state.params, frozen_params, batch)
+        state = state.apply_gradients(grads)
+        return state, dict(metrics, loss=loss)
+
+    return train_step

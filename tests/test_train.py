@@ -1,0 +1,131 @@
+"""End-to-end training smoke tests (the reference test_training_simple.py
+analogue) + GradCache exactness + sharded-step equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_embeds_tpu.core.config import get_model_config
+from clip_embeds_tpu.core.factory import create_model
+from clip_embeds_tpu.data.synthetic import synthetic_batches
+from clip_embeds_tpu.parallel.mesh import batch_sharding, create_mesh
+from clip_embeds_tpu.train.optim import adamw, decay_mask
+from clip_embeds_tpu.train.schedules import cosine_lr
+from clip_embeds_tpu.train.steps import TrainState, make_clip_train_step
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model, params = create_model("test-tiny", attn_impl="reference")
+    return model, params
+
+
+def _batches(n, bs=8, hard=0):
+    cfg = get_model_config("test-tiny")
+    return list(
+        synthetic_batches(
+            bs, cfg.vision.image_size, cfg.text.context_length,
+            num_batches=n, hard_negatives=hard,
+        )
+    )
+
+
+def test_train_loss_decreases(tiny_model):
+    model, params = tiny_model
+    tx = adamw(cosine_lr(1e-3, warmup=2, total_steps=20), weight_decay=0.01)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_clip_train_step(model))
+
+    # repeat the same batch: loss must drop if training works end to end
+    batch = _batches(1)[0]
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert float(state.params["logit_scale"]) <= 4.6052 + 1e-6
+    assert int(state.step) == 8
+
+
+def test_hard_text_step_runs(tiny_model):
+    model, params = tiny_model
+    tx = adamw(1e-4)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_clip_train_step(model, use_hard_text=True))
+    batch = _batches(1, hard=4)[0]
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_grad_cache_matches_plain(tiny_model):
+    """GradCache chunked gradients == full-batch gradients (exactness)."""
+    model, params = tiny_model
+    tx = adamw(0.0, weight_decay=0.0)  # lr 0: compare grads via loss only
+    batch = _batches(1, bs=8)[0]
+
+    from clip_embeds_tpu.losses.clip_loss import clip_loss
+    from clip_embeds_tpu.train.grad_cache import cache_grad_step
+
+    def encode(p, chunk):
+        out = model.apply({"params": p}, chunk["images"], chunk["texts"])
+        return {"img": out["image_features"], "txt": out["text_features"]}
+
+    scale = jnp.exp(params["logit_scale"])
+
+    def rep_loss(reps):
+        return clip_loss(reps["img"], reps["txt"], scale)
+
+    def full_loss(p):
+        return rep_loss(encode(p, batch))
+
+    loss_full, grads_full = jax.value_and_grad(full_loss)(params)
+    loss_gc, grads_gc = cache_grad_step(encode, rep_loss, params, batch, 4)
+
+    np.testing.assert_allclose(float(loss_gc), float(loss_full), rtol=1e-6)
+    flat_full = jax.tree.leaves(grads_full)
+    flat_gc = jax.tree.leaves(grads_gc)
+    for a, b in zip(flat_full, flat_gc):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_sharded_step_matches_single_device(tiny_model):
+    """The same jitted step over an 8-device data mesh gives the same loss."""
+    model, params = tiny_model
+    tx = adamw(1e-3)
+    batch = _batches(1, bs=16)[0]
+
+    step = jax.jit(make_clip_train_step(model))
+    state1 = TrainState.create(params, tx)
+    _, m_single = step(state1, batch)
+
+    mesh = create_mesh(8, 1)
+    sharding = batch_sharding(mesh)
+    batch_sharded = jax.tree.map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+    state2 = TrainState.create(params, tx)
+    with jax.sharding.set_mesh(mesh):
+        state2, m_sharded = step(state2, batch_sharded)
+
+    np.testing.assert_allclose(
+        float(m_sharded["loss"]), float(m_single["loss"]), rtol=1e-5
+    )
+
+
+def test_decay_mask_excludes_norms_and_scalars(tiny_model):
+    _, params = tiny_model
+    mask = decay_mask(params)
+    assert mask["logit_scale"] is False
+    v = mask["visual"]
+    assert v["class_embedding"] is False  # ndim < 2
+    # reference exclude lambda (main.py:335) decays 2-D pos embeds
+    assert v["positional_embedding"] is True
+    assert v["ln_pre"]["scale"] is False
+    assert v["patch_embed"]["kernel"] is True
+    blk = v["transformer"]["resblocks_0"]
+    assert blk["attn"]["in_proj"]["kernel"] is True
+    assert blk["attn"]["in_proj"]["bias"] is False
