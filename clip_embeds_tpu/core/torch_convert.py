@@ -117,3 +117,149 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
     return convert_clip_state_dict(ckpt)
+
+
+# -- Llama / LLaVA (HF layout) --------------------------------------------
+
+
+def _dense_nb(sd: Mapping[str, Any], key: str) -> Dict[str, np.ndarray]:
+    return {"kernel": _np(sd[key + ".weight"]).T}
+
+
+def convert_llama_state_dict(
+    sd: Mapping[str, Any], prefix: str = ""
+) -> Dict[str, Any]:
+    """HF LlamaForCausalLM state_dict -> params for models.llama.LlamaForCausalLM.
+
+    HF key layout: model.embed_tokens / model.layers.N.{self_attn.{q,k,v,o}_proj,
+    mlp.{gate,up,down}_proj, input_layernorm, post_attention_layernorm} /
+    model.norm / lm_head.
+    """
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    n = 0
+    while f"model.layers.{n}.input_layernorm.weight" in sd:
+        n += 1
+    layers = {}
+    for i in range(n):
+        p = f"model.layers.{i}"
+        layers[f"layers_{i}"] = {
+            "input_layernorm": {"weight": _np(sd[p + ".input_layernorm.weight"])},
+            "post_attention_layernorm": {
+                "weight": _np(sd[p + ".post_attention_layernorm.weight"])
+            },
+            "self_attn": {
+                name: _dense_nb(sd, f"{p}.self_attn.{name}")
+                for name in ("q_proj", "k_proj", "v_proj", "o_proj")
+            },
+            "mlp": {
+                name: _dense_nb(sd, f"{p}.mlp.{name}")
+                for name in ("gate_proj", "up_proj", "down_proj")
+            },
+        }
+    params: Dict[str, Any] = {
+        "embed_tokens": {"embedding": _np(sd["model.embed_tokens.weight"])},
+        "model": dict(layers, norm={"weight": _np(sd["model.norm.weight"])}),
+    }
+    if "lm_head.weight" in sd:
+        params["lm_head"] = _dense_nb(sd, "lm_head")
+    return params
+
+
+def convert_hf_clip_vision_state_dict(
+    sd: Mapping[str, Any], prefix: str = "vision_model."
+) -> Dict[str, Any]:
+    """HF CLIPVisionModel state_dict -> params for models.vit.VisionTransformer.
+
+    HF keeps separate q/k/v projections (modeling_clip.py CLIPAttention); they
+    pack into the in_proj layout in (q, k, v) order. Note HF's 'pre_layrnorm'
+    typo. The final projection head is absent in CLIPVisionModel; a zero 'proj'
+    is synthesized (never touched by the LLaVA hidden-layer tap).
+    """
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    conv_w = _np(sd["embeddings.patch_embedding.weight"])  # [W, 3, p, p]
+    width, cin, p, _ = conv_w.shape
+    patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(p * p * cin, width)
+
+    n = 0
+    while f"encoder.layers.{n}.layer_norm1.weight" in sd:
+        n += 1
+
+    blocks = {}
+    for i in range(n):
+        pre = f"encoder.layers.{i}"
+        qw = _np(sd[f"{pre}.self_attn.q_proj.weight"])
+        kw = _np(sd[f"{pre}.self_attn.k_proj.weight"])
+        vw = _np(sd[f"{pre}.self_attn.v_proj.weight"])
+        qb = _np(sd[f"{pre}.self_attn.q_proj.bias"])
+        kb = _np(sd[f"{pre}.self_attn.k_proj.bias"])
+        vb = _np(sd[f"{pre}.self_attn.v_proj.bias"])
+        blocks[f"resblocks_{i}"] = {
+            "ln_1": _layernorm(sd, f"{pre}.layer_norm1"),
+            "attn": {
+                "in_proj": {
+                    "kernel": np.concatenate([qw, kw, vw], axis=0).T,
+                    "bias": np.concatenate([qb, kb, vb], axis=0),
+                },
+                "out_proj": _linear(sd, f"{pre}.self_attn.out_proj"),
+            },
+            "ln_2": _layernorm(sd, f"{pre}.layer_norm2"),
+            "mlp": {
+                "c_fc": _linear(sd, f"{pre}.mlp.fc1"),
+                "c_proj": _linear(sd, f"{pre}.mlp.fc2"),
+            },
+        }
+
+    return {
+        "patch_embed": {"kernel": patch_kernel},
+        "class_embedding": _np(sd["embeddings.class_embedding"]),
+        "positional_embedding": _np(sd["embeddings.position_embedding.weight"]),
+        "ln_pre": _layernorm(sd, "pre_layrnorm"),
+        "transformer": blocks,
+        "ln_post": _layernorm(sd, "post_layernorm"),
+        "proj": np.zeros((width, width), np.float32),
+    }
+
+
+def convert_llava_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """HF LlavaForConditionalGeneration state_dict -> models.llava.Llava params.
+
+    HF layout (llava-hf/llava-1.5-*): vision_tower.vision_model.*,
+    multi_modal_projector.linear_{1,2}, language_model.model.* +
+    language_model.lm_head (newer transformers move lm_head under
+    model.language_model; both spellings handled).
+    """
+    sd = dict(sd)
+    # normalize newer transformers layout (model.* wrapper)
+    if any(k.startswith("model.vision_tower.") for k in sd):
+        renamed = {}
+        for k, v in sd.items():
+            if k.startswith("model."):
+                renamed[k[len("model."):]] = v
+            else:
+                renamed[k] = v
+        if "lm_head.weight" in renamed:
+            renamed["language_model.lm_head.weight"] = renamed.pop("lm_head.weight")
+        # language_model.* here is the bare LlamaModel -> re-prefix with .model
+        sd = {}
+        for k, v in renamed.items():
+            if k.startswith("language_model.") and not k.startswith(
+                ("language_model.model.", "language_model.lm_head")
+            ):
+                sd["language_model.model." + k[len("language_model."):]] = v
+            else:
+                sd[k] = v
+
+    vision = convert_hf_clip_vision_state_dict(
+        sd, prefix="vision_tower.vision_model."
+    )
+    projector = {
+        "linear_1": _linear(sd, "multi_modal_projector.linear_1"),
+        "linear_2": _linear(sd, "multi_modal_projector.linear_2"),
+    }
+    llama = convert_llama_state_dict(sd, prefix="language_model.")
+    return {
+        "vision_tower": vision,
+        "multi_modal_projector": projector,
+        "language_model": llama,
+    }

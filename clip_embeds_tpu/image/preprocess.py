@@ -93,7 +93,11 @@ def preprocess_batch(
     image_size: int = 336,
     variant: str = "clip",
 ) -> np.ndarray:
-    fn = preprocess_clip if variant == "clip" else preprocess_pacl
+    fn = {
+        "clip": preprocess_clip,
+        "pacl": preprocess_pacl,
+        "llava": preprocess_llava,
+    }[variant]
     return np.stack([fn(im, image_size) for im in images])
 
 
@@ -126,3 +130,28 @@ def jax_preprocess(
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
     return ((x - mean) / std).astype(dtype)
+
+
+def expand2square(img: Image.Image, background: Tuple[int, int, int]) -> Image.Image:
+    """Pad to square with a background color (t2v_metrics mm_utils.py:10-22)."""
+    w, h = img.size
+    if w == h:
+        return img
+    size = max(w, h)
+    out = Image.new("RGB", (size, size), background)
+    if w > h:
+        out.paste(img, (0, (w - h) // 2))
+    else:
+        out.paste(img, ((h - w) // 2, 0))
+    return out
+
+
+def preprocess_llava(image: ImageLike, image_size: int = 336) -> np.ndarray:
+    """LLaVA-1.5 image path: expand2square with the CLIP dataset mean, then
+    bicubic resize + CLIP normalization (llava_model.py:277-287 load_images
+    with image_aspect_ratio='pad' + CLIPImageProcessor)."""
+    img = _to_pil(image)
+    background = tuple(int(x * 255) for x in OPENAI_DATASET_MEAN)
+    img = expand2square(img, background)
+    img = img.resize((image_size, image_size), Image.BICUBIC)
+    return _normalize(np.asarray(img), OPENAI_DATASET_MEAN, OPENAI_DATASET_STD)

@@ -105,7 +105,12 @@ class ResidualAttentionBlock(nn.Module):
 
 
 class Transformer(nn.Module):
-    """Stack of residual blocks with optional rematerialization."""
+    """Stack of residual blocks with optional rematerialization.
+
+    ``num_blocks`` runs only the first k blocks — used for LLaVA's
+    hidden_states[-2] feature extraction (llava clip_encoder.py:41-52 selects
+    the penultimate layer, i.e. skips the last block).
+    """
 
     width: int
     layers: int
@@ -122,11 +127,13 @@ class Transformer(nn.Module):
         x: jax.Array,
         causal: bool = False,
         mask: Optional[jax.Array] = None,
+        num_blocks: Optional[int] = None,
     ) -> jax.Array:
         block_cls = ResidualAttentionBlock
         if self.remat:
             block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(1,))
-        for i in range(self.layers):
+        n = self.layers if num_blocks is None else num_blocks
+        for i in range(n):
             block = block_cls(
                 self.width, self.heads, self.mlp_ratio, self.quick_gelu,
                 dtype=self.dtype, attn_impl=self.attn_impl, name=f"resblocks_{i}",

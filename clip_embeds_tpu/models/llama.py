@@ -1,0 +1,248 @@
+"""Llama decoder (flax.linen) for the LLaVA-1.5 stack.
+
+TPU-native equivalent of the vendored HF Llama used by the reference's
+VQAScore/VLM2Vec paths (t2v_metrics llava_model.py:354 LlamaModel forward;
+VLM2Vec/src/vlm_backbone). Teacher-forced forward only — VQAScore is
+P(answer | image, question) via cross-entropy (llava_model.py:359-370), no
+generation loop needed for the benchmarks.
+
+Architecture: RMSNorm, rotate-half RoPE, SwiGLU MLP, optional GQA, causal
+attention with per-sample padding masks. Matmul layouts follow flax Dense so
+the HF converter is a plain transpose; Megatron TP specs come from
+parallel/sharding_rules.py conventions (in_proj-style column/row splits).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: Optional[int] = None  # None -> MHA
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+
+def llama_7b_config() -> LlamaConfig:
+    return LlamaConfig()
+
+
+def llama_tiny_config() -> LlamaConfig:
+    return LlamaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, max_position_embeddings=128,
+    )
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        x32 = x32 * jax.lax.rsqrt(var + self.eps)
+        weight = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        return (weight * x32).astype(self.dtype)
+
+
+def rope_cos_sin(
+    positions: jax.Array, head_dim: int, theta: float
+) -> Tuple[jax.Array, jax.Array]:
+    """positions [B, N] -> (cos, sin) [B, N, head_dim] (HF rotate-half layout)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,N,hd/2]
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [B, H, N, D]; cos/sin [B, N, D]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[:, None, :, :].astype(x.dtype) + rotated * sin[:, None, :, :].astype(x.dtype)
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        cos: jax.Array,
+        sin: jax.Array,
+        kv_mask: Optional[jax.Array],
+    ) -> jax.Array:
+        cfg = self.cfg
+        b, n, _ = x.shape
+        hd = cfg.head_dim
+        q = nn.Dense(cfg.num_heads * hd, use_bias=False, dtype=self.dtype,
+                     name="q_proj")(x)
+        k = nn.Dense(cfg.kv_heads * hd, use_bias=False, dtype=self.dtype,
+                     name="k_proj")(x)
+        v = nn.Dense(cfg.kv_heads * hd, use_bias=False, dtype=self.dtype,
+                     name="v_proj")(x)
+
+        q = q.reshape(b, n, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
+
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+
+        if cfg.kv_heads != cfg.num_heads:
+            rep = cfg.num_heads // cfg.kv_heads
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+
+        mask = None
+        if kv_mask is not None:
+            mask = kv_mask[:, None, None, :]  # [B,1,1,N] broadcast over queries
+        out = dot_product_attention(
+            q, k, v, causal=True, mask=mask, impl=self.attn_impl
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.num_heads * hd)
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                        name="o_proj")(out)
+
+
+class LlamaMLP(nn.Module):
+    cfg: LlamaConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
+                        dtype=self.dtype, name="gate_proj")(x)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False,
+                      dtype=self.dtype, name="up_proj")(x)
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                        name="down_proj")(jax.nn.silu(gate) * up)
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, cos, sin, kv_mask):
+        h = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
+                    name="input_layernorm")(x)
+        x = x + LlamaAttention(self.cfg, self.dtype, self.attn_impl,
+                               name="self_attn")(h, cos, sin, kv_mask)
+        h = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
+                    name="post_attention_layernorm")(x)
+        return x + LlamaMLP(self.cfg, self.dtype, name="mlp")(h)
+
+
+class LlamaModel(nn.Module):
+    """Decoder trunk operating on input embeddings (LLaVA splices image
+    features before this — llava_arch.py:96-200 equivalent)."""
+
+    cfg: LlamaConfig
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs_embeds: jax.Array,            # [B, N, D]
+        attention_mask: Optional[jax.Array] = None,  # bool [B, N]
+        positions: Optional[jax.Array] = None,       # int [B, N]
+    ) -> jax.Array:
+        cfg = self.cfg
+        b, n, _ = inputs_embeds.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(n)[None, :], (b, n))
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+        x = inputs_embeds
+        block_cls = LlamaBlock
+        if self.remat:
+            block_cls = nn.remat(LlamaBlock)
+        for i in range(cfg.num_layers):
+            x = block_cls(cfg, self.dtype, self.attn_impl,
+                          name=f"layers_{i}")(x, cos, sin, attention_mask)
+        return RMSNorm(cfg.rms_norm_eps, self.dtype, name="norm")(x)
+
+
+class LlamaForCausalLM(nn.Module):
+    cfg: LlamaConfig
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    def setup(self):
+        self.embed_tokens = nn.Embed(
+            self.cfg.vocab_size, self.cfg.hidden_size,
+            embedding_init=nn.initializers.normal(0.02), dtype=self.dtype,
+            name="embed_tokens",
+        )
+        self.model = LlamaModel(
+            self.cfg, self.dtype, self.attn_impl, self.remat, name="model"
+        )
+        if not self.cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                self.cfg.vocab_size, use_bias=False, dtype=self.dtype,
+                name="lm_head",
+            )
+
+    def embed(self, input_ids: jax.Array) -> jax.Array:
+        return self.embed_tokens(input_ids)
+
+    def trunk(
+        self,
+        inputs_embeds: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        positions: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        return self.model(inputs_embeds, attention_mask, positions)
+
+    def logits(self, hidden: jax.Array) -> jax.Array:
+        if self.cfg.tie_word_embeddings:
+            return self.embed_tokens.attend(hidden)
+        return self.lm_head(hidden)
+
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        positions: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        h = self.trunk(self.embed(input_ids), attention_mask, positions)
+        return self.logits(h)

@@ -1,0 +1,210 @@
+"""LLaVA-1.5: CLIP vision tower + MLP projector + Llama decoder.
+
+Reference behaviours reproduced:
+* vision features from hidden_states[-2] with CLS handling
+  ``feature_select in {'patch', 'cls_patch', 'cls'}`` (the 'cls' mode is
+  paper-added — t2v_metrics llava clip_encoder.py:29-38; VLM2Vec
+  llava_15/modeling_llava.py:277-304)
+* 2-layer GELU mm_projector (llava_arch.py:91-94 encode_images)
+* image-token splice at IMAGE_TOKEN_INDEX = -200
+  (llava_arch.py:96-200 prepare_inputs_labels_for_multimodal) — redesigned
+  with static shapes: one sentinel per sample expands to a fixed n_image
+  block via a vectorized gather (SURVEY.md §7 "static-shape variant")
+* VLM2Vec last-token pooling + L2 norm (VLM2Vec/src/model.py:42-52)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.config import VisionConfig
+from .clip import l2_normalize
+from .layers import exact_gelu
+from .llama import LlamaConfig, LlamaForCausalLM
+from .vit import VisionTransformer
+
+Dtype = Any
+
+IMAGE_TOKEN_INDEX = -200
+IGNORE_INDEX = -100
+
+
+@dataclasses.dataclass(frozen=True)
+class LlavaConfig:
+    llama: LlamaConfig = dataclasses.field(default_factory=LlamaConfig)
+    vision: VisionConfig = dataclasses.field(
+        default_factory=lambda: VisionConfig(
+            image_size=336, patch_size=14, width=1024, layers=24
+        )
+    )
+    feature_layer: int = -2
+    feature_select: str = "patch"  # 'patch' | 'cls_patch' | 'cls'
+    vision_quick_gelu: bool = True  # openai CLIP-ViT-L-336 tower
+
+    @property
+    def n_image_tokens(self) -> int:
+        n = self.vision.num_patches
+        if self.feature_select == "cls_patch":
+            return n + 1
+        if self.feature_select == "cls":
+            return 1
+        return n
+
+
+def llava_tiny_config() -> LlavaConfig:
+    from .llama import llama_tiny_config
+
+    return LlavaConfig(
+        llama=llama_tiny_config(),
+        vision=VisionConfig(image_size=32, patch_size=16, width=64, layers=2,
+                            head_width=32),
+    )
+
+
+def splice_positions(
+    input_ids: jax.Array, n_image: int
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Index maps for expanding one image sentinel into n_image slots.
+
+    Returns (image_pos [B], out_is_image [B,F], text_gather [B,F],
+    image_gather [B,F]) where F = L - 1 + n_image.
+    """
+    b, l = input_ids.shape
+    final_len = l - 1 + n_image
+    image_pos = jnp.argmax(input_ids == IMAGE_TOKEN_INDEX, axis=1)  # [B]
+    j = jnp.broadcast_to(jnp.arange(final_len)[None, :], (b, final_len))
+    p = image_pos[:, None]
+    is_image = (j >= p) & (j < p + n_image)
+    text_gather = jnp.where(j < p, j, jnp.clip(j - n_image + 1, 0, l - 1))
+    image_gather = jnp.clip(j - p, 0, n_image - 1)
+    return image_pos, is_image, text_gather, image_gather
+
+
+def expand_like_tokens(
+    values: jax.Array, input_ids: jax.Array, n_image: int, image_fill
+) -> jax.Array:
+    """Expand a per-token array (labels / attention mask) to the spliced
+    length, filling image slots with ``image_fill``."""
+    _, is_image, text_gather, _ = splice_positions(input_ids, n_image)
+    gathered = jnp.take_along_axis(values, text_gather, axis=1)
+    return jnp.where(is_image, image_fill, gathered)
+
+
+class MultiModalProjector(nn.Module):
+    hidden_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="linear_1")(x)
+        x = exact_gelu(x)
+        return nn.Dense(self.hidden_size, dtype=self.dtype, name="linear_2")(x)
+
+
+class Llava(nn.Module):
+    cfg: LlavaConfig
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    def setup(self):
+        self.vision_tower = VisionTransformer(
+            self.cfg.vision,
+            embed_dim=self.cfg.llama.hidden_size,  # unused (hidden tap)
+            quick_gelu=self.cfg.vision_quick_gelu,
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+        )
+        self.multi_modal_projector = MultiModalProjector(
+            self.cfg.llama.hidden_size, dtype=self.dtype
+        )
+        self.language_model = LlamaForCausalLM(
+            self.cfg.llama, dtype=self.dtype, attn_impl=self.attn_impl,
+            remat=self.remat,
+        )
+
+    def encode_images(self, pixel_values: jax.Array) -> jax.Array:
+        """[B, S, S, 3] -> projected image tokens [B, n_image, hidden]."""
+        hidden = self.vision_tower(
+            pixel_values, hidden_layer=self.cfg.feature_layer
+        )
+        if self.cfg.feature_select == "patch":
+            feats = hidden[:, 1:]
+        elif self.cfg.feature_select == "cls_patch":
+            feats = hidden
+        elif self.cfg.feature_select == "cls":
+            feats = hidden[:, :1]
+        else:
+            raise ValueError(self.cfg.feature_select)
+        return self.multi_modal_projector(feats)
+
+    def merge(
+        self, input_ids: jax.Array, image_features: jax.Array
+    ) -> jax.Array:
+        """Embed text and splice image features at the sentinel."""
+        n_image = image_features.shape[1]
+        safe_ids = jnp.where(input_ids < 0, 0, input_ids)
+        text_embeds = self.language_model.embed(safe_ids)
+        _, is_image, text_gather, image_gather = splice_positions(
+            input_ids, n_image
+        )
+        text_part = jnp.take_along_axis(
+            text_embeds, text_gather[..., None], axis=1
+        )
+        image_part = jnp.take_along_axis(
+            image_features, image_gather[..., None], axis=1
+        )
+        return jnp.where(is_image[..., None], image_part, text_part)
+
+    def __call__(
+        self,
+        input_ids: jax.Array,          # [B, L] with one IMAGE_TOKEN_INDEX each
+        pixel_values: jax.Array,       # [B, S, S, 3]
+        attention_mask: Optional[jax.Array] = None,  # bool [B, L]
+    ) -> jax.Array:
+        """Logits [B, L - 1 + n_image, vocab]."""
+        image_features = self.encode_images(pixel_values)
+        embeds = self.merge(input_ids, image_features)
+        mask = None
+        if attention_mask is not None:
+            mask = expand_like_tokens(
+                attention_mask.astype(jnp.int32), input_ids,
+                image_features.shape[1], 1,
+            ).astype(bool)
+        hidden = self.language_model.trunk(embeds, mask)
+        return self.language_model.logits(hidden)
+
+    def embed_last_token(
+        self,
+        input_ids: jax.Array,
+        pixel_values: Optional[jax.Array] = None,
+        attention_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """VLM2Vec pooling: last valid token's hidden state, L2-normalized
+        (MMEBModel._pooling, VLM2Vec/src/model.py:42-52)."""
+        if pixel_values is not None:
+            image_features = self.encode_images(pixel_values)
+            n_image = image_features.shape[1]
+            embeds = self.merge(input_ids, image_features)
+            if attention_mask is None:
+                attention_mask = jnp.ones_like(input_ids, jnp.int32)
+            mask = expand_like_tokens(
+                attention_mask.astype(jnp.int32), input_ids, n_image, 1
+            )
+        else:
+            embeds = self.language_model.embed(
+                jnp.where(input_ids < 0, 0, input_ids)
+            )
+            mask = (
+                attention_mask.astype(jnp.int32)
+                if attention_mask is not None
+                else jnp.ones_like(input_ids, jnp.int32)
+            )
+        hidden = self.language_model.trunk(embeds, mask.astype(bool))
+        last = jnp.sum(mask, axis=1) - 1
+        pooled = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0]
+        return l2_normalize(pooled)

@@ -12,7 +12,7 @@ the reference's mutable ``output_tokens`` flag (transformer.py:833-834).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -59,8 +59,17 @@ class VisionTransformer(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        """images: [B, H, W, 3] float -> (pooled [B, embed_dim], tokens [B, N, W])."""
+    def __call__(
+        self,
+        images: jax.Array,
+        hidden_layer: Optional[int] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """images: [B, H, W, 3] float -> (pooled [B, embed_dim], tokens [B, N, W]).
+
+        With ``hidden_layer`` set (e.g. -2), returns the raw hidden states
+        [B, 1+N, W] after the corresponding block, HF hidden_states indexing
+        (no ln_post, no projection) — the LLaVA feature tap.
+        """
         cfg = self.cfg
         b = images.shape[0]
         scale = cfg.width ** -0.5
@@ -87,11 +96,16 @@ class VisionTransformer(nn.Module):
         if not cfg.no_ln_pre:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
 
-        x = Transformer(
+        transformer = Transformer(
             cfg.width, cfg.layers, cfg.heads, cfg.mlp_ratio, self.quick_gelu,
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
             name="transformer",
-        )(x)
+        )
+        if hidden_layer is not None:
+            # hidden_states[k] is the input of block k; index -2 therefore
+            # skips the last block.
+            return transformer(x, num_blocks=cfg.layers + 1 + hidden_layer)
+        x = transformer(x)
 
         ln_post = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")
         if cfg.final_ln_after_pool:

@@ -1,0 +1,199 @@
+"""VQAScore: P(answer="Yes" | image, question) = exp(-mean CE) on TPU.
+
+Reference: t2v_metrics/t2v_metrics/models/vqascore_models/llava_model.py:
+question/answer templates (:14-15), the 'chat' conversation format with
+SYSTEM_MSG (:17-58), <image>-splitting tokenization
+(mm_utils.py:24-44 tokenizer_image_token), question-prefix label masking with
+the trailing-whitespace correction (:314-319), and per-sample (-CE).exp()
+(:359-370).
+
+The tokenizer is pluggable: any callable text -> List[int] (HF Llama tokenizer
+via ``hf_tokenizer_adapter`` for real checkpoints, or a toy tokenizer in
+tests).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..image.preprocess import ImageLike, preprocess_batch
+from ..models.llava import IGNORE_INDEX, IMAGE_TOKEN_INDEX, Llava
+
+SYSTEM_MSG = (
+    "A chat between a curious user and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the user's "
+    "questions."
+)
+DEFAULT_IMAGE_TOKEN = "<image>"
+DEFAULT_QUESTION_TEMPLATE = 'Does this figure show "{}"? Please answer yes or no.'
+DEFAULT_ANSWER_TEMPLATE = "Yes"
+
+TokenizeFn = Callable[[str], List[int]]
+
+
+def format_question(question: str, style: str = "chat") -> str:
+    if style == "plain":
+        return DEFAULT_IMAGE_TOKEN + question
+    if style == "chat":
+        return (
+            SYSTEM_MSG + " USER: " + DEFAULT_IMAGE_TOKEN + "\n" + question
+            + " ASSISTANT: "
+        )
+    raise NotImplementedError(style)
+
+
+def format_answer(answer: str, style: str = "chat") -> str:
+    if style == "plain":
+        return answer + "\n"
+    if style == "chat":
+        return answer + "</s>"
+    raise NotImplementedError(style)
+
+
+def tokenizer_image_token(
+    prompt: str,
+    tokenize: TokenizeFn,
+    bos_token_id: Optional[int] = None,
+    image_token_index: int = IMAGE_TOKEN_INDEX,
+) -> List[int]:
+    """Split on <image>, tokenize chunks, splice the sentinel id between them
+    (mm_utils.py:24-44 semantics including the BOS offset handling)."""
+    chunks = [tokenize(c) for c in prompt.split(DEFAULT_IMAGE_TOKEN)]
+    ids: List[int] = []
+    offset = 0
+    if chunks and chunks[0] and bos_token_id is not None and chunks[0][0] == bos_token_id:
+        offset = 1
+        ids.append(chunks[0][0])
+    sep = [image_token_index] * (offset + 1)
+    joined: List[List[int]] = []
+    for i, chunk in enumerate(chunks):
+        joined.append(chunk)
+        if i < len(chunks) - 1:
+            joined.append(sep)
+    for segment in joined:
+        ids.extend(segment[offset:])
+    return ids
+
+
+def hf_tokenizer_adapter(hf_tokenizer) -> tuple:
+    """(tokenize_fn, bos_token_id, pad_token_id) from an HF tokenizer."""
+    return (
+        lambda text: hf_tokenizer(text).input_ids,
+        hf_tokenizer.bos_token_id,
+        hf_tokenizer.pad_token_id or 0,
+    )
+
+
+class VQAScorer:
+    """Batched VQAScore over a JAX LLaVA model."""
+
+    def __init__(
+        self,
+        model: Llava,
+        params,
+        tokenize: TokenizeFn,
+        bos_token_id: Optional[int] = None,
+        pad_token_id: int = 0,
+        conversation_style: str = "chat",
+        context_len: int = 2048,
+        batch_size: int = 8,
+        pad_to_multiple: int = 64,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenize = tokenize
+        self.bos_token_id = bos_token_id
+        self.pad_token_id = pad_token_id
+        self.style = conversation_style
+        self.context_len = context_len
+        self.batch_size = batch_size
+        self.pad_to_multiple = pad_to_multiple
+        self.image_size = model.cfg.vision.image_size
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _scores(params, input_ids, pixels, attn_mask, labels):
+            logits = model.apply(
+                {"params": params}, input_ids, pixels, attn_mask
+            )
+            n_image = model.cfg.n_image_tokens
+            from ..models.llava import expand_like_tokens
+
+            full_labels = expand_like_tokens(
+                labels, input_ids, n_image, IGNORE_INDEX
+            )
+            shift_logits = logits[:, :-1].astype(jnp.float32)
+            shift_labels = full_labels[:, 1:]
+            valid = shift_labels != IGNORE_INDEX
+            safe = jnp.where(valid, shift_labels, 0)
+            logz = jax.nn.logsumexp(shift_logits, axis=-1)
+            picked = jnp.take_along_axis(
+                shift_logits, safe[..., None], axis=-1
+            )[..., 0]
+            ce = (logz - picked) * valid
+            mean_ce = ce.sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1)
+            return jnp.exp(-mean_ce)
+
+        self._scores = _scores
+
+    def _prepare(self, image: ImageLike, text: str, q_tpl: str, a_tpl: str):
+        question = format_question(q_tpl.format(text), self.style)
+        answer = format_answer(a_tpl.format(text), self.style)
+        ids = tokenizer_image_token(
+            question + answer, self.tokenize, self.bos_token_id
+        )
+        q_len = len(
+            tokenizer_image_token(question, self.tokenize, self.bos_token_id)
+        )
+        if question.endswith(" "):
+            q_len -= 1  # llava_model.py:317-319 whitespace correction
+        labels = [IGNORE_INDEX] * q_len + ids[q_len:]
+        return ids[: self.context_len], labels[: self.context_len]
+
+    def forward(
+        self,
+        images: Sequence[ImageLike],
+        texts: Sequence[str],
+        question_template: str = DEFAULT_QUESTION_TEMPLATE,
+        answer_template: str = DEFAULT_ANSWER_TEMPLATE,
+    ) -> np.ndarray:
+        """Scores for n (image, text) pairs -> [n] array."""
+        assert len(images) == len(texts)
+        prepared = [
+            self._prepare(img, txt, question_template, answer_template)
+            for img, txt in zip(images, texts)
+        ]
+        out = np.zeros((len(prepared),), np.float32)
+        for start in range(0, len(prepared), self.batch_size):
+            chunk = prepared[start : start + self.batch_size]
+            imgs = images[start : start + self.batch_size]
+            out[start : start + len(chunk)] = self._forward_chunk(chunk, imgs)
+        return out
+
+    def _forward_chunk(self, prepared, images) -> np.ndarray:
+        n = len(prepared)
+        max_len = max(len(ids) for ids, _ in prepared)
+        m = self.pad_to_multiple
+        max_len = ((max_len + m - 1) // m) * m
+        input_ids = np.full((n, max_len), self.pad_token_id, np.int32)
+        labels = np.full((n, max_len), IGNORE_INDEX, np.int32)
+        mask = np.zeros((n, max_len), bool)
+        for i, (ids, lab) in enumerate(prepared):
+            input_ids[i, : len(ids)] = ids
+            labels[i, : len(lab)] = lab
+            mask[i, : len(ids)] = True
+        pixels = preprocess_batch(list(images), self.image_size, "llava")
+        return np.asarray(
+            self._scores(
+                self.params,
+                jnp.asarray(input_ids),
+                jnp.asarray(pixels),
+                jnp.asarray(mask),
+                jnp.asarray(labels),
+            )
+        )
