@@ -1,0 +1,85 @@
+"""Public Score API: m x n (images x texts) scoring + dataset batch_forward.
+
+Reference: t2v_metrics/t2v_metrics/score.py:13-92 — ``Score(images, texts)``
+returns an m x n matrix by pairing each image with every text;
+``batch_forward`` runs a dataset of {'images': [k], 'texts': [l]} dicts to a
+[N, k, l] tensor. Pair models (VQAScore) score (image, text) pairs; embedding
+models (CLIPScore/ITMScore-style) factorize through embeddings.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence, Union
+
+import numpy as np
+
+from ..image.preprocess import ImageLike
+
+ImageTextDict = Dict[str, List]
+PairForwardFn = Callable[[Sequence[ImageLike], Sequence[str]], np.ndarray]
+
+
+class Score:
+    """Wraps a pair-scoring function f(images, texts) -> [n] into the m x n API."""
+
+    def __init__(self, pair_forward: PairForwardFn):
+        self.pair_forward = pair_forward
+
+    def __call__(
+        self,
+        images: Union[ImageLike, Sequence[ImageLike]],
+        texts: Union[str, Sequence[str]],
+        **kwargs,
+    ) -> np.ndarray:
+        if isinstance(images, (str,)) or not isinstance(images, (list, tuple)):
+            images = [images]
+        if isinstance(texts, str):
+            texts = [texts]
+        scores = np.zeros((len(images), len(texts)), np.float32)
+        for i, image in enumerate(images):
+            scores[i] = self.pair_forward([image] * len(texts), list(texts), **kwargs)
+        return scores
+
+    forward = __call__
+
+    def batch_forward(
+        self, dataset: List[ImageTextDict], batch_size: int = 16, **kwargs
+    ) -> np.ndarray:
+        """[N, n_images_per_sample, n_texts_per_sample] (score.py:59-92)."""
+        n = len(dataset)
+        n_images = len(dataset[0]["images"])
+        n_texts = len(dataset[0]["texts"])
+        out = np.zeros((n, n_images, n_texts), np.float32)
+        for start in range(0, n, batch_size):
+            chunk = dataset[start : start + batch_size]
+            for ii in range(n_images):
+                images = [s["images"][ii] for s in chunk]
+                for ti in range(n_texts):
+                    texts = [s["texts"][ti] for s in chunk]
+                    out[start : start + len(chunk), ii, ti] = self.pair_forward(
+                        images, texts, **kwargs
+                    )
+        return out
+
+
+def VQAScore(model, params, tokenize, **kw) -> Score:
+    """VQAScore factory over a JAX LLaVA model (t2v_metrics.VQAScore)."""
+    from .vqa_score import VQAScorer
+
+    scorer = VQAScorer(model, params, tokenize, **kw)
+    return Score(scorer.forward)
+
+
+def CLIPScore(model, params, **kw) -> Score:
+    """Cosine-similarity CLIPScore over a JAX CLIP model
+    (t2v clipscore_models/clip_model.py:44-58)."""
+    from .scorers import CLIPScorer
+
+    scorer = CLIPScorer(model, params, **kw)
+
+    def pair_forward(images, texts):
+        img = scorer.encode_images(images)
+        txt = scorer.encode_texts(texts)
+        return np.einsum("nd,nd->n", img, txt)
+
+    return Score(pair_forward)
