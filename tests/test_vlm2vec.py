@@ -1,0 +1,147 @@
+"""VLM2Vec training (LoRA + GradCache) and embedding-scorer tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from clip_embeds_tpu.core.config import VisionConfig
+from clip_embeds_tpu.models.llama import LlamaConfig
+from clip_embeds_tpu.models.llava import Llava, LlavaConfig
+from clip_embeds_tpu.models.lora import init_lora
+from clip_embeds_tpu.train.optim import adamw
+from clip_embeds_tpu.train.steps import TrainState
+from clip_embeds_tpu.train.vlm2vec import make_vlm2vec_train_step
+
+
+def tiny_llava():
+    cfg = LlavaConfig(
+        llama=LlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, max_position_embeddings=256,
+        ),
+        vision=VisionConfig(image_size=32, patch_size=16, width=64, layers=2,
+                            head_width=32),
+    )
+    model = Llava(cfg, attn_impl="reference")
+    ids = jnp.asarray([[1, 2, -200, 3]], jnp.int32)
+    pixels = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), ids, pixels)["params"]
+    return model, params
+
+
+def _toy_tokenize(text):
+    return [1] + [2 + (sum(map(ord, w)) % 200) for w in text.split()]
+
+
+def _batch(n=4, length=16):
+    rng = np.random.default_rng(0)
+    qry_ids = np.full((n, length), 0, np.int32)
+    qry_mask = np.zeros((n, length), bool)
+    tgt_ids = np.full((n, length), 0, np.int32)
+    tgt_mask = np.zeros((n, length), bool)
+    for i in range(n):
+        L = rng.integers(6, length)
+        qry_ids[i, :L] = rng.integers(1, 250, L)
+        qry_ids[i, 2] = -200
+        qry_mask[i, :L] = True
+        Lt = rng.integers(4, length)
+        tgt_ids[i, :Lt] = rng.integers(1, 250, Lt)
+        tgt_mask[i, :Lt] = True
+    return {
+        "qry_ids": qry_ids, "qry_mask": qry_mask,
+        "qry_pixels": rng.standard_normal((n, 32, 32, 3)).astype(np.float32),
+        "tgt_ids": tgt_ids, "tgt_mask": tgt_mask,
+    }
+
+
+def test_vlm2vec_lora_training_step():
+    model, base_params = tiny_llava()
+    lora = init_lora(base_params, rank=2, rng=jax.random.PRNGKey(1))
+    assert lora, "no LoRA targets found"
+    step = jax.jit(make_vlm2vec_train_step(model, base_params))
+    state = TrainState.create(lora, adamw(1e-3, weight_decay=0.0))
+    batch = _batch()
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    # base params untouched by construction (state holds only adapters)
+    assert set(state.params) == set(lora)
+
+
+def test_vlm2vec_grad_cache_matches_plain():
+    model, base_params = tiny_llava()
+    lora = init_lora(base_params, rank=2, rng=jax.random.PRNGKey(1))
+    batch = _batch(n=4)
+    step_plain = make_vlm2vec_train_step(model, base_params)
+    step_gc = make_vlm2vec_train_step(model, base_params, grad_cache_chunks=2)
+    s1 = TrainState.create(lora, adamw(0.0, weight_decay=0.0))
+    s2 = TrainState.create(lora, adamw(0.0, weight_decay=0.0))
+    _, m1 = step_plain(s1, batch)
+    _, m2 = step_gc(s2, batch)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+
+
+def test_combined_pair_dataset(tmp_path):
+    from clip_embeds_tpu.data.mmeb import CombinedPairDataset, pair_batches
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    pretrain = []
+    for i in range(6):
+        name = f"{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)
+        ).save(img_dir / name)
+        pretrain.append({
+            "image": name,
+            "conversations": [
+                {"from": "human", "value": f"What is object {i}?\n<image>"},
+                {"from": "gpt", "value": f"It is object number {i}."},
+            ],
+        })
+    ann = tmp_path / "pretrain.json"
+    ann.write_text(json.dumps(pretrain))
+
+    ds = CombinedPairDataset(str(ann), None, str(img_dir))
+    qry, img, tgt = ds.get(0)
+    assert "<image>" in qry
+    assert img.endswith("0.jpg")
+    assert tgt.startswith("It is")
+
+    batches = list(pair_batches(
+        ds, _toy_tokenize, batch_size=2, bos_token_id=1, num_workers=2,
+        image_size=32,
+    ))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["qry_pixels"].shape == (2, 32, 32, 3)
+    assert (b["qry_ids"] == -200).sum() == 2  # one sentinel per query
+    assert b["tgt_ids"].shape[0] == 2
+
+
+def test_embedding_scorer():
+    from clip_embeds_tpu.scores.embedding_scorer import EmbeddingScorer
+
+    model, params = tiny_llava()
+    scorer = EmbeddingScorer(
+        model, params, _toy_tokenize, bos_token_id=1, batch_size=2,
+    )
+    rng = np.random.default_rng(0)
+    imgs = [
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+        for _ in range(2)
+    ]
+    scores = scorer.score_batch([(imgs[0], ["opt a", "opt b"])])
+    assert scores[0].shape == (2,)
+    probs = scorer.pair_score(imgs, ["statement one", "statement two"])
+    assert probs.shape == (2, 2)
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-5)
