@@ -38,27 +38,38 @@ def _attn_kernel(
     kv_valid: int, block_q: int,
 ):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)          # [block_q, D]
-    k = k_ref[0].astype(jnp.float32)          # [N, D]
-    v = v_ref[0].astype(jnp.float32)          # [N, D]
+    # Keep matmul inputs in their storage dtype (bf16) — the MXU accumulates
+    # in fp32 via preferred_element_type; upcasting inputs first would force
+    # the slow fp32 MXU path.
+    q = q_ref[0]                               # [block_q, D]
+    k = k_ref[0]                               # [N, D]
+    v = v_ref[0]                               # [N, D]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                  # [block_q, N]
+    ) * scale                                  # [block_q, N] fp32
 
     n = s.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, n), 1)
-    mask = col < kv_valid
     if causal:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, n), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (block_q, n), 0)
+        mask = col < kv_valid
         mask = jnp.logical_and(mask, col <= row + qi * block_q)
-    s = jnp.where(mask, s, NEG_INF)
+        s = jnp.where(mask, s, NEG_INF)
+    elif kv_valid < n:
+        # padded KV columns: one additive bias row instead of a full-matrix
+        # select — a single broadcast add on the VPU
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        s = s + jnp.where(col < kv_valid, 0.0, NEG_INF)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
+    # Probabilities drop to the storage dtype for the PV matmul (bf16 MXU
+    # rate); the fp32 row sums keep normalization exact.
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
