@@ -18,6 +18,7 @@ per-sample host work sits on the hot path (SURVEY.md §7 throughput lever).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -155,3 +156,108 @@ def preprocess_llava(image: ImageLike, image_size: int = 336) -> np.ndarray:
     img = expand2square(img, background)
     img = img.resize((image_size, image_size), Image.BICUBIC)
     return _normalize(np.asarray(img), OPENAI_DATASET_MEAN, OPENAI_DATASET_STD)
+
+
+# -- Native (C++) host path ------------------------------------------------
+
+
+def native_resize_normalize(
+    image_u8: np.ndarray,
+    image_size: int,
+    mean: Sequence[float],
+    std: Sequence[float],
+    bicubic: bool = True,
+) -> Optional[np.ndarray]:
+    """One HWC uint8 image -> resized+normalized float32 via the C++ library.
+
+    Returns None when the native library is unavailable (callers fall back to
+    PIL). Matches Pillow's antialiased convolution resampling.
+    """
+    import ctypes
+
+    from ..native.build import load_library
+
+    lib = load_library()
+    if lib is None:
+        return None
+    image_u8 = np.ascontiguousarray(image_u8, dtype=np.uint8)
+    h, w, c = image_u8.shape
+    assert c == 3
+    out = np.empty((image_size, image_size, 3), np.float32)
+    mean_arr = np.asarray(mean, np.float32)
+    std_arr = np.asarray(std, np.float32)
+    lib.resize_normalize_one(
+        image_u8.ctypes.data_as(ctypes.c_void_p), h, w,
+        out.ctypes.data_as(ctypes.c_void_p), image_size, image_size,
+        mean_arr.ctypes.data_as(ctypes.c_void_p),
+        std_arr.ctypes.data_as(ctypes.c_void_p),
+        1 if bicubic else 0,
+    )
+    return out
+
+
+def native_resize_normalize_batch(
+    batch_u8: np.ndarray,
+    image_size: int,
+    mean: Sequence[float],
+    std: Sequence[float],
+    bicubic: bool = True,
+    num_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Same-sized [N, H, W, 3] uint8 batch -> [N, S, S, 3] float32, threaded."""
+    import ctypes
+
+    from ..native.build import load_library
+
+    lib = load_library()
+    if lib is None:
+        return None
+    batch_u8 = np.ascontiguousarray(batch_u8, dtype=np.uint8)
+    n, h, w, c = batch_u8.shape
+    assert c == 3
+    if num_threads <= 0:
+        num_threads = min(n, os.cpu_count() or 1)
+    out = np.empty((n, image_size, image_size, 3), np.float32)
+    mean_arr = np.asarray(mean, np.float32)
+    std_arr = np.asarray(std, np.float32)
+    lib.resize_normalize_batch(
+        batch_u8.ctypes.data_as(ctypes.c_void_p), n, h, w,
+        out.ctypes.data_as(ctypes.c_void_p), image_size, image_size,
+        mean_arr.ctypes.data_as(ctypes.c_void_p),
+        std_arr.ctypes.data_as(ctypes.c_void_p),
+        1 if bicubic else 0, num_threads,
+    )
+    return out
+
+
+def native_preprocess_clip(
+    image: ImageLike, image_size: int = 336
+) -> Optional[np.ndarray]:
+    """CLIP eval transform on the native path: shortest-edge bicubic resize
+    (C++) + center crop (view) + fused normalize. None if lib unavailable."""
+    import ctypes
+
+    from ..native.build import load_library
+
+    lib = load_library()
+    if lib is None:
+        return None
+    arr = np.asarray(_to_pil(image), np.uint8)
+    h, w, _ = arr.shape
+    if h <= w:
+        new_h, new_w = image_size, max(int(round(image_size * w / h)), image_size)
+    else:
+        new_w, new_h = image_size, max(int(round(image_size * h / w)), image_size)
+    out = np.empty((new_h, new_w, 3), np.float32)
+    mean_arr = np.asarray(OPENAI_DATASET_MEAN, np.float32)
+    std_arr = np.asarray(OPENAI_DATASET_STD, np.float32)
+    arr = np.ascontiguousarray(arr)
+    lib.resize_normalize_one(
+        arr.ctypes.data_as(ctypes.c_void_p), h, w,
+        out.ctypes.data_as(ctypes.c_void_p), new_h, new_w,
+        mean_arr.ctypes.data_as(ctypes.c_void_p),
+        std_arr.ctypes.data_as(ctypes.c_void_p), 1,
+    )
+    top = int(round((new_h - image_size) / 2.0))
+    left = int(round((new_w - image_size) / 2.0))
+    return out[top : top + image_size, left : left + image_size]
