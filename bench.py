@@ -47,20 +47,32 @@ def main() -> None:
     )
     raw = jax.device_put(jnp.asarray(raw))
 
-    # Warmup/compile. NOTE: under the axon remote platform block_until_ready
-    # returns immediately; only a host fetch forces execution. So we (a) force
-    # the warmup with a fetch, (b) chain iterations through a data dependency,
-    # and (c) force the whole chain with one final fetch.
-    float(embed(params, raw, jnp.asarray(0.0))[0, 0])
+    # Timing notes for the axon remote platform: block_until_ready returns
+    # immediately (only host fetches force execution) and every dispatch pays
+    # tunnel latency. So the whole iteration loop runs on-device inside one
+    # jit (lax.fori_loop chained through a salt scalar), and the per-iteration
+    # time is the difference between a long and a short loop — constant
+    # dispatch/fetch overhead cancels.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames="iters")
+    def bench_loop(params, raw, iters):
+        def body(_, salt):
+            out = embed(params, raw, salt)
+            return out[0, 0].astype(jnp.float32) * 1e-6
+        return jax.lax.fori_loop(0, iters, body, jnp.asarray(1e-6))
 
     iters = 20 if on_tpu else 2
-    salt = jnp.asarray(1e-6)
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = embed(params, raw, salt)
-        salt = out[0, 0].astype(jnp.float32) * 1e-6  # chain: no dedup, no overlap skew
-    float(salt)  # forces the full chain
-    elapsed = time.perf_counter() - start
+    float(bench_loop(params, raw, 1))       # compile short
+    float(bench_loop(params, raw, iters))   # compile long
+
+    t0 = time.perf_counter()
+    float(bench_loop(params, raw, 1))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(bench_loop(params, raw, iters))
+    t_long = time.perf_counter() - t0
+    elapsed = max(t_long - t_short, 1e-9) / (iters - 1) * iters
 
     img_per_s = batch * iters / elapsed
     print(json.dumps({

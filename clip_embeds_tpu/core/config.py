@@ -18,6 +18,8 @@ class VisionConfig:
     patch_size: int = 16
     width: int = 768
     layers: int = 12
+    tower: str = "vit"  # 'vit' | 'resnet'
+    resnet_layers: Tuple[int, ...] = ()  # ModifiedResNet stage depths
     head_width: int = 64
     mlp_ratio: float = 4.0
     pool_type: str = "tok"  # 'tok' | 'avg' | 'none'
@@ -125,6 +127,24 @@ MODEL_CONFIGS: Dict[str, CLIPConfig] = {
         dict(width=768, heads=12, layers=12),
     ),
 }
+
+# ModifiedResNet CLIP family (reference model_configs/RN*.json; layers given
+# as a tuple selects the ResNet tower — model.py:105 _build_vision_tower).
+MODEL_CONFIGS["RN50"] = _cfg(
+    1024,
+    dict(tower="resnet", image_size=224, width=64, resnet_layers=(3, 4, 6, 3)),
+    dict(width=512, heads=8, layers=12),
+)
+MODEL_CONFIGS["RN101"] = _cfg(
+    512,
+    dict(tower="resnet", image_size=224, width=64, resnet_layers=(3, 4, 23, 3)),
+    dict(width=512, heads=8, layers=12),
+)
+MODEL_CONFIGS["RN50x4"] = _cfg(
+    640,
+    dict(tower="resnet", image_size=288, width=80, resnet_layers=(4, 6, 10, 6)),
+    dict(width=640, heads=10, layers=12),
+)
 
 # A tiny config for tests/CI — not in the reference.
 MODEL_CONFIGS["test-tiny"] = _cfg(

@@ -76,22 +76,24 @@ def convert_clip_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
 
-    conv_w = _np(sd["visual.conv1.weight"])  # [W, 3, p, p]
-    width, cin, p, _ = conv_w.shape
-    patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(p * p * cin, width)
-
-    v_layers = _count_layers(sd, "visual.transformer")
     t_layers = _count_layers(sd, "transformer")
 
-    visual = {
-        "patch_embed": {"kernel": patch_kernel},
-        "class_embedding": _np(sd["visual.class_embedding"]),
-        "positional_embedding": _np(sd["visual.positional_embedding"]),
-        "ln_pre": _layernorm(sd, "visual.ln_pre"),
-        "transformer": _transformer(sd, "visual.transformer", v_layers),
-        "ln_post": _layernorm(sd, "visual.ln_post"),
-        "proj": _np(sd["visual.proj"]),
-    }
+    if "visual.layer1.0.conv1.weight" in sd:  # ModifiedResNet tower
+        visual = convert_modified_resnet_state_dict(sd, prefix="visual.")
+    else:
+        conv_w = _np(sd["visual.conv1.weight"])  # [W, 3, p, p]
+        width, cin, p, _ = conv_w.shape
+        patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(p * p * cin, width)
+        v_layers = _count_layers(sd, "visual.transformer")
+        visual = {
+            "patch_embed": {"kernel": patch_kernel},
+            "class_embedding": _np(sd["visual.class_embedding"]),
+            "positional_embedding": _np(sd["visual.positional_embedding"]),
+            "ln_pre": _layernorm(sd, "visual.ln_pre"),
+            "transformer": _transformer(sd, "visual.transformer", v_layers),
+            "ln_post": _layernorm(sd, "visual.ln_post"),
+            "proj": _np(sd["visual.proj"]),
+        }
     text = {
         "token_embedding": {"embedding": _np(sd["token_embedding.weight"])},
         "positional_embedding": _np(sd["positional_embedding"]),
@@ -263,3 +265,58 @@ def convert_llava_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
         "multi_modal_projector": projector,
         "language_model": llama,
     }
+
+
+# -- ModifiedResNet (CLIP RN50 family) ------------------------------------
+
+
+def _conv(sd: Mapping[str, Any], key: str) -> Dict[str, np.ndarray]:
+    return {"kernel": _np(sd[key + ".weight"]).transpose(2, 3, 1, 0)}
+
+
+def _bn(sd: Mapping[str, Any], key: str) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _np(sd[key + ".weight"]),
+        "bias": _np(sd[key + ".bias"]),
+        "mean": _np(sd[key + ".running_mean"]),
+        "var": _np(sd[key + ".running_var"]),
+    }
+
+
+def _convbn(sd, conv_key, bn_key):
+    return {"conv": _conv(sd, conv_key), "bn": _bn(sd, bn_key)}
+
+
+def convert_modified_resnet_state_dict(
+    sd: Mapping[str, Any], prefix: str = "visual."
+) -> Dict[str, Any]:
+    """Reference ModifiedResNet state dict -> params (BN stats as params)."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    params: Dict[str, Any] = {}
+    for i in (1, 2, 3):
+        params[f"stem{i}"] = _convbn(sd, f"conv{i}", f"bn{i}")
+
+    for stage in (1, 2, 3, 4):
+        i = 0
+        while f"layer{stage}.{i}.conv1.weight" in sd:
+            pre = f"layer{stage}.{i}"
+            blk: Dict[str, Any] = {
+                "c1": _convbn(sd, f"{pre}.conv1", f"{pre}.bn1"),
+                "c2": _convbn(sd, f"{pre}.conv2", f"{pre}.bn2"),
+                "c3": _convbn(sd, f"{pre}.conv3", f"{pre}.bn3"),
+            }
+            if f"{pre}.downsample.0.weight" in sd:
+                blk["downsample"] = _convbn(
+                    sd, f"{pre}.downsample.0", f"{pre}.downsample.1"
+                )
+            params[f"layer{stage}_{i}"] = blk
+            i += 1
+
+    params["attnpool"] = {
+        "positional_embedding": _np(sd["attnpool.positional_embedding"]),
+        "q_proj": _linear(sd, "attnpool.q_proj"),
+        "k_proj": _linear(sd, "attnpool.k_proj"),
+        "v_proj": _linear(sd, "attnpool.v_proj"),
+        "c_proj": _linear(sd, "attnpool.c_proj"),
+    }
+    return params

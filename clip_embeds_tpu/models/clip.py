@@ -35,10 +35,22 @@ class CLIP(nn.Module):
     remat: bool = False
 
     def setup(self):
-        self.visual = VisionTransformer(
-            self.cfg.vision, self.cfg.embed_dim, self.cfg.quick_gelu,
-            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
-        )
+        if self.cfg.vision.tower == "resnet":
+            from .resnet import ModifiedResNet
+
+            self.visual = ModifiedResNet(
+                layers=self.cfg.vision.resnet_layers,
+                output_dim=self.cfg.embed_dim,
+                heads=self.cfg.vision.width * 32 // 64,
+                image_size=self.cfg.vision.image_size,
+                width=self.cfg.vision.width,
+                dtype=self.dtype,
+            )
+        else:
+            self.visual = VisionTransformer(
+                self.cfg.vision, self.cfg.embed_dim, self.cfg.quick_gelu,
+                dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+            )
         self.text = TextTransformer(
             self.cfg.text, self.cfg.embed_dim, self.cfg.quick_gelu,
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
