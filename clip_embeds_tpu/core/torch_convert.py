@@ -320,3 +320,83 @@ def convert_modified_resnet_state_dict(
         "c_proj": _linear(sd, "attnpool.c_proj"),
     }
     return params
+
+
+# -- CoCa ------------------------------------------------------------------
+
+
+def _attn_pooler(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    bq, bk, bv = np.split(_np(sd[prefix + ".attn.in_proj_bias"]), 3)
+    return {
+        "query": _np(sd[prefix + ".query"]),
+        "ln_q": _layernorm(sd, prefix + ".ln_q"),
+        "ln_k": _layernorm(sd, prefix + ".ln_k"),
+        "q_proj": {"kernel": _np(sd[prefix + ".attn.q_proj_weight"]).T,
+                   "bias": bq},
+        "k_proj": {"kernel": _np(sd[prefix + ".attn.k_proj_weight"]).T,
+                   "bias": bk},
+        "v_proj": {"kernel": _np(sd[prefix + ".attn.v_proj_weight"]).T,
+                   "bias": bv},
+        "out_proj": _linear(sd, prefix + ".attn.out_proj"),
+    }
+
+
+def convert_coca_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Reference CoCa state_dict -> params for models.coca.CoCa."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+
+    conv_w = _np(sd["visual.conv1.weight"])
+    width, cin, p, _ = conv_w.shape
+    v_layers = _count_layers(sd, "visual.transformer")
+    visual = {
+        "patch_embed": {
+            "kernel": conv_w.transpose(2, 3, 1, 0).reshape(p * p * cin, width)
+        },
+        "class_embedding": _np(sd["visual.class_embedding"]),
+        "positional_embedding": _np(sd["visual.positional_embedding"]),
+        "ln_pre": _layernorm(sd, "visual.ln_pre"),
+        "transformer": _transformer(sd, "visual.transformer", v_layers),
+        "attn_pool": _attn_pooler(sd, "visual.attn_pool"),
+        "ln_post": _layernorm(sd, "visual.ln_post"),
+        "proj": _np(sd["visual.proj"]),
+    }
+
+    t_layers = _count_layers(sd, "text.transformer")
+    text = {
+        "token_embedding": {"embedding": _np(sd["text.token_embedding.weight"])},
+        "positional_embedding": _np(sd["text.positional_embedding"]),
+        "cls_emb": _np(sd["text.cls_emb"]),
+        "transformer": _transformer(sd, "text.transformer", t_layers),
+        "ln_final": _layernorm(sd, "text.ln_final"),
+        "text_projection": _np(sd["text.text_projection"]),
+    }
+
+    d_layers = 0
+    while f"text_decoder.resblocks.{d_layers}.ln_1.weight" in sd:
+        d_layers += 1
+    decoder: Dict[str, Any] = {}
+    for i in range(d_layers):
+        decoder[f"resblocks_{i}"] = _block(sd, f"text_decoder.resblocks.{i}")
+        pre = f"text_decoder.cross_attn.{i}"
+        decoder[f"cross_attn_{i}"] = {
+            "ln_1": _layernorm(sd, pre + ".ln_1"),
+            "ln_1_kv": _layernorm(sd, pre + ".ln_1_kv"),
+            "in_proj_kernel": _np(sd[pre + ".attn.in_proj_weight"]).T,
+            "in_proj_bias": _np(sd[pre + ".attn.in_proj_bias"]),
+            "out_proj": _linear(sd, pre + ".attn.out_proj"),
+            "ln_2": _layernorm(sd, pre + ".ln_2"),
+            "mlp": {
+                "c_fc": _linear(sd, pre + ".mlp.c_fc"),
+                "c_proj": _linear(sd, pre + ".mlp.c_proj"),
+            },
+        }
+    decoder["ln_final"] = _layernorm(sd, "text_decoder.ln_final")
+    decoder["text_projection"] = _np(sd["text_decoder.text_projection"])
+
+    return {
+        "visual": visual,
+        "text": text,
+        "text_decoder": decoder,
+        "logit_scale": _np(sd["logit_scale"]).reshape(()),
+    }
