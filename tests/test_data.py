@@ -117,3 +117,25 @@ def test_checkpoint_prune(tmp_path):
     names = sorted(os.listdir(tmp_path))
     steps = [ckpt.step_of(n) for n in names if n.startswith("epoch_")]
     assert sorted(steps) == [3, 4]
+
+
+def test_remote_sync(tmp_path):
+    from clip_embeds_tpu.core.remote_sync import RemoteSync, sync_once
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir()
+    (src / "ckpt.txt").write_text("v1")
+    (src / "sub").mkdir()
+    (src / "sub" / "log.txt").write_text("hello")
+
+    assert sync_once(str(src), str(dst))
+    assert (dst / "ckpt.txt").read_text() == "v1"
+    assert (dst / "sub" / "log.txt").read_text() == "hello"
+
+    # updated file gets re-synced; stop() does a final sync
+    (src / "ckpt.txt").write_text("v2")
+    rs = RemoteSync(str(src), str(dst), every_seconds=3600)
+    rs.start()
+    rs.stop(final_sync=True)
+    assert (dst / "ckpt.txt").read_text() == "v2"
