@@ -26,7 +26,8 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     batch = 256 if on_tpu else 8
 
-    model, params = create_model("ViT-L-14-336", dtype=jnp.bfloat16)
+    # openai tag => QuickGELU, matching the real deployed checkpoint
+    model, params = create_model("ViT-L-14-336", pretrained="openai", dtype=jnp.bfloat16)
     params = jax.device_put(params)
 
     @jax.jit

@@ -400,3 +400,64 @@ def convert_coca_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
         "text_decoder": decoder,
         "logit_scale": _np(sd["logit_scale"]).reshape(()),
     }
+
+
+# -- T5 (HF layout) --------------------------------------------------------
+
+
+def _t5_attn(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    out = {
+        name: _dense_nb(sd, f"{prefix}.{name}") for name in ("q", "k", "v", "o")
+    }
+    if f"{prefix}.relative_attention_bias.weight" in sd:
+        out["relative_attention_bias"] = {
+            "embedding": _np(sd[f"{prefix}.relative_attention_bias.weight"])
+        }
+    return out
+
+
+def _t5_stack(sd: Mapping[str, Any], prefix: str, is_decoder: bool) -> Dict[str, Any]:
+    n = 0
+    while f"{prefix}.block.{n}.layer.0.layer_norm.weight" in sd:
+        n += 1
+    stack: Dict[str, Any] = {}
+    for i in range(n):
+        p = f"{prefix}.block.{i}.layer"
+        blk: Dict[str, Any] = {
+            "self_ln": {"weight": _np(sd[f"{p}.0.layer_norm.weight"])},
+            "self_attn": _t5_attn(sd, f"{p}.0.SelfAttention"),
+        }
+        ff_idx = 1
+        if is_decoder:
+            blk["cross_ln"] = {"weight": _np(sd[f"{p}.1.layer_norm.weight"])}
+            blk["cross_attn"] = _t5_attn(sd, f"{p}.1.EncDecAttention")
+            ff_idx = 2
+        blk["ff_ln"] = {"weight": _np(sd[f"{p}.{ff_idx}.layer_norm.weight"])}
+        ff_prefix = f"{p}.{ff_idx}.DenseReluDense"
+        if f"{ff_prefix}.wi_0.weight" in sd:
+            blk["ff"] = {
+                "wi_0": _dense_nb(sd, f"{ff_prefix}.wi_0"),
+                "wi_1": _dense_nb(sd, f"{ff_prefix}.wi_1"),
+                "wo": _dense_nb(sd, f"{ff_prefix}.wo"),
+            }
+        else:
+            blk["ff"] = {
+                "wi": _dense_nb(sd, f"{ff_prefix}.wi"),
+                "wo": _dense_nb(sd, f"{ff_prefix}.wo"),
+            }
+        stack[f"block_{i}"] = blk
+    stack["final_ln"] = {"weight": _np(sd[f"{prefix}.final_layer_norm.weight"])}
+    return stack
+
+
+def convert_t5_state_dict(sd: Mapping[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """HF T5ForConditionalGeneration -> params for models.t5."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    params: Dict[str, Any] = {
+        "shared": {"embedding": _np(sd["shared.weight"])},
+        "encoder": _t5_stack(sd, "encoder", is_decoder=False),
+        "decoder": _t5_stack(sd, "decoder", is_decoder=True),
+    }
+    if "lm_head.weight" in sd:
+        params["lm_head"] = _dense_nb(sd, "lm_head")
+    return params

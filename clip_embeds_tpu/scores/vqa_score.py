@@ -197,3 +197,126 @@ class VQAScorer:
                 jnp.asarray(labels),
             )
         )
+
+
+# -- CLIP-FlanT5 (encoder-decoder) ----------------------------------------
+
+
+def format_question_t5(question: str, style: str = "t5_chat") -> str:
+    """clip_t5_model.py:12-25 conversation formats."""
+    if style == "t5_plain":
+        return DEFAULT_IMAGE_TOKEN + question
+    if style == "t5_chat":
+        return (
+            SYSTEM_MSG + " USER: " + DEFAULT_IMAGE_TOKEN + "\n" + question
+            + " ASSISTANT: "
+        )
+    if style == "t5_chat_no_system":
+        return "USER: " + DEFAULT_IMAGE_TOKEN + "\n" + question + " ASSISTANT: "
+    raise NotImplementedError(style)
+
+
+def t5_tokenizer_image_token(
+    prompt: str,
+    tokenize: TokenizeFn,
+    image_token_index: int = IMAGE_TOKEN_INDEX,
+) -> List[int]:
+    """No-BOS splice variant (mm_utils.py:46-61)."""
+    chunks = [tokenize(c) for c in prompt.split(DEFAULT_IMAGE_TOKEN)]
+    ids: List[int] = []
+    for i, chunk in enumerate(chunks):
+        ids.extend(chunk)
+        if i < len(chunks) - 1:
+            ids.append(image_token_index)
+    return ids
+
+
+class T5VQAScorer:
+    """VQAScore over a CLIP-FlanT5 model: encoder takes image+question, the
+    decoder teacher-forces the answer; score = exp(-mean CE)
+    (clip_t5_model.py:221-281)."""
+
+    def __init__(
+        self,
+        model,  # models.clip_t5.CLIPT5
+        params,
+        tokenize: TokenizeFn,
+        pad_token_id: int = 0,
+        conversation_style: str = "t5_chat",
+        context_len: int = 2048,
+        batch_size: int = 8,
+        pad_to_multiple: int = 64,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenize = tokenize
+        self.pad_token_id = pad_token_id
+        self.style = conversation_style
+        self.context_len = context_len
+        self.batch_size = batch_size
+        self.pad_to_multiple = pad_to_multiple
+        self.image_size = model.cfg.vision.image_size
+
+        @jax.jit
+        def _scores(params, input_ids, pixels, enc_mask, labels, dec_mask):
+            logits = model.apply(
+                {"params": params}, input_ids, pixels, labels,
+                enc_mask, dec_mask,
+            ).astype(jnp.float32)
+            valid = labels != IGNORE_INDEX
+            safe = jnp.where(valid, labels, 0)
+            logz = jax.nn.logsumexp(logits, axis=-1)
+            picked = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+            ce = (logz - picked) * valid
+            mean_ce = ce.sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1)
+            return jnp.exp(-mean_ce)
+
+        self._scores = _scores
+
+    def forward(
+        self,
+        images: Sequence[ImageLike],
+        texts: Sequence[str],
+        question_template: str = DEFAULT_QUESTION_TEMPLATE,
+        answer_template: str = DEFAULT_ANSWER_TEMPLATE,
+    ) -> np.ndarray:
+        assert len(images) == len(texts)
+        questions = [
+            format_question_t5(question_template.format(t), self.style)
+            for t in texts
+        ]
+        answers = [answer_template.format(t) for t in texts]
+        q_ids = [
+            t5_tokenizer_image_token(q, self.tokenize)[: self.context_len]
+            for q in questions
+        ]
+        a_ids = [self.tokenize(a)[: self.context_len] for a in answers]
+
+        out = np.zeros((len(images),), np.float32)
+        for s in range(0, len(images), self.batch_size):
+            out[s : s + self.batch_size] = self._chunk(
+                q_ids[s : s + self.batch_size],
+                a_ids[s : s + self.batch_size],
+                images[s : s + self.batch_size],
+            )
+        return out
+
+    def _chunk(self, q_ids, a_ids, images) -> np.ndarray:
+        n = len(q_ids)
+        m = self.pad_to_multiple
+        qlen = ((max(len(x) for x in q_ids) + m - 1) // m) * m
+        alen = ((max(len(x) for x in a_ids) + 7) // 8) * 8
+        input_ids = np.full((n, qlen), self.pad_token_id, np.int32)
+        enc_mask = np.zeros((n, qlen), bool)
+        labels = np.full((n, alen), IGNORE_INDEX, np.int32)
+        dec_mask = np.zeros((n, alen), bool)
+        for i in range(n):
+            input_ids[i, : len(q_ids[i])] = q_ids[i]
+            enc_mask[i, : len(q_ids[i])] = True
+            labels[i, : len(a_ids[i])] = a_ids[i]
+            dec_mask[i, : len(a_ids[i])] = True
+        pixels = preprocess_batch(list(images), self.image_size, "llava")
+        return np.asarray(self._scores(
+            self.params, jnp.asarray(input_ids), jnp.asarray(pixels),
+            jnp.asarray(enc_mask), jnp.asarray(labels), jnp.asarray(dec_mask),
+        ))
