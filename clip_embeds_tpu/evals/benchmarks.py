@@ -147,3 +147,66 @@ def run_benchmark(score, dataset: BenchmarkDataset, batch_size: int = 16):
     """score: scores.score.Score; returns (scores_tensor, metrics)."""
     tensor = score.batch_forward(dataset.samples, batch_size=batch_size)
     return tensor, dataset.evaluate_scores(tensor)
+
+
+class NaturalBenchRetrieval(BenchmarkDataset):
+    """2x2 winoground-format retrieval pairs (t2v dataset.py:1784-1843):
+    metadata.json rows with image_0/image_1/caption_0/caption_1."""
+
+    def _load(self):
+        path = os.path.join(self.root_dir, "metadata.json")
+        with open(path) as fh:
+            metadata = json.load(fh)
+        image_dir = os.path.join(self.root_dir, "images")
+        return [{
+            "images": [
+                os.path.join(image_dir, ex["image_0"]),
+                os.path.join(image_dir, ex["image_1"]),
+            ],
+            "texts": [ex["caption_0"], ex["caption_1"]],
+        } for ex in metadata]
+
+    evaluate_scores = Winoground.evaluate_scores
+
+
+class COCOCounterfactuals(BenchmarkDataset):
+    """COCO-Counterfactuals winoground-format pairs (dataset.py:1850-1914)."""
+
+    _load = NaturalBenchRetrieval._load
+    evaluate_scores = Winoground.evaluate_scores
+
+
+class SeeTrue(BenchmarkDataset):
+    """Binary alignment pairs: each sample one image x one text with a 0/1
+    label (t2v dataset.py SeeTrue); metric = per-source accuracy with a 0.5
+    threshold on the (normalized) score."""
+
+    def _load(self):
+        path = os.path.join(self.root_dir, "seetrue.json")
+        with open(path) as fh:
+            rows = json.load(fh)
+        self.labels = [int(r["label"]) for r in rows]
+        self.sources = [r.get("source", "all") for r in rows]
+        return [{
+            "images": [os.path.join(self.root_dir, "images", r["image"])],
+            "texts": [r["text"]],
+        } for r in rows]
+
+    def evaluate_scores(self, scores: np.ndarray) -> Dict[str, float]:
+        scores = np.asarray(scores).reshape(len(self.samples))
+        preds = (scores > 0.5).astype(int)
+        labels = np.asarray(self.labels)
+        out = {"accuracy": float((preds == labels).mean())}
+        for source in sorted(set(self.sources)):
+            idx = [i for i, s in enumerate(self.sources) if s == source]
+            out[f"accuracy/{source}"] = float(
+                (preds[idx] == labels[idx]).mean()
+            )
+        return out
+
+
+BENCHMARKS.update({
+    "naturalbench_retrieval": NaturalBenchRetrieval,
+    "coco_counterfactuals": COCOCounterfactuals,
+    "seetrue": SeeTrue,
+})

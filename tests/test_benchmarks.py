@@ -122,3 +122,51 @@ def test_zero_shot_classifier():
         batch_size=2,
     )
     assert metrics["top1"] == 1.0
+
+
+def test_naturalbench_and_seetrue(tmp_path):
+    import json as _json
+
+    from clip_embeds_tpu.evals.benchmarks import (
+        NaturalBenchRetrieval,
+        SeeTrue,
+    )
+
+    os.makedirs(tmp_path / "images")
+    meta = []
+    for i in range(3):
+        _img(tmp_path, f"images/a{i}.jpg", i)
+        _img(tmp_path, f"images/b{i}.jpg", i + 50)
+        meta.append({
+            "index": i, "image_0": f"a{i}.jpg", "image_1": f"b{i}.jpg",
+            "caption_0": f"cap zero {i}", "caption_1": f"cap one {i}",
+        })
+    (tmp_path / "metadata.json").write_text(_json.dumps(meta))
+    ds = NaturalBenchRetrieval(str(tmp_path))
+    assert len(ds) == 3
+
+    def pair_forward(images, texts):
+        return np.asarray([
+            1.0 if (("a" in os.path.basename(i)) == ("zero" in t)) else 0.0
+            for i, t in zip(images, texts)
+        ], np.float32)
+
+    _, m = run_benchmark(Score(pair_forward), ds)
+    assert m == {"text": 1.0, "image": 1.0, "group": 1.0}
+
+    rows = [
+        {"image": f"a{i}.jpg", "text": f"caption {i}", "label": i % 2,
+         "source": "coco"}
+        for i in range(4)
+    ]
+    (tmp_path / "seetrue.json").write_text(_json.dumps(rows))
+    st = SeeTrue(str(tmp_path))
+
+    def st_forward(images, texts):
+        return np.asarray(
+            [0.9 if int(t.split()[-1]) % 2 else 0.1 for t in texts], np.float32
+        )
+
+    _, m = run_benchmark(Score(st_forward), st)
+    assert m["accuracy"] == 1.0
+    assert m["accuracy/coco"] == 1.0
