@@ -33,6 +33,7 @@ class CLIP(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant: bool = False  # int8 serving path (models/quant.py)
 
     def setup(self):
         if self.cfg.vision.tower == "resnet":
@@ -50,10 +51,12 @@ class CLIP(nn.Module):
             self.visual = VisionTransformer(
                 self.cfg.vision, self.cfg.embed_dim, self.cfg.quick_gelu,
                 dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+                quant=self.quant,
             )
         self.text = TextTransformer(
             self.cfg.text, self.cfg.embed_dim, self.cfg.quick_gelu,
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+            quant=self.quant,
         )
         self.logit_scale = self.param(
             "logit_scale",

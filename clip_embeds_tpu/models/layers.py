@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
+from .quant import dense
 
 Dtype = Any
 
@@ -39,6 +40,7 @@ class MultiHeadAttention(nn.Module):
     heads: int
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -49,7 +51,8 @@ class MultiHeadAttention(nn.Module):
     ) -> jax.Array:
         b, n, _ = x.shape
         head_dim = self.width // self.heads
-        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")(x)
+        qkv = dense(self.quant, 3 * self.width, dtype=self.dtype,
+                    name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(t):
@@ -60,7 +63,8 @@ class MultiHeadAttention(nn.Module):
             causal=causal, mask=mask, impl=self.attn_impl,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.width)
-        return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
+        return dense(self.quant, self.width, dtype=self.dtype,
+                     name="out_proj")(out)
 
 
 class MLP(nn.Module):
@@ -68,13 +72,14 @@ class MLP(nn.Module):
     mlp_ratio: float = 4.0
     quick_gelu: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         hidden = int(self.width * self.mlp_ratio)
-        x = nn.Dense(hidden, dtype=self.dtype, name="c_fc")(x)
+        x = dense(self.quant, hidden, dtype=self.dtype, name="c_fc")(x)
         x = get_act(self.quick_gelu)(x)
-        return nn.Dense(self.width, dtype=self.dtype, name="c_proj")(x)
+        return dense(self.quant, self.width, dtype=self.dtype, name="c_proj")(x)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -84,6 +89,7 @@ class ResidualAttentionBlock(nn.Module):
     quick_gelu: bool = False
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -94,12 +100,12 @@ class ResidualAttentionBlock(nn.Module):
     ) -> jax.Array:
         attn = MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="attn",
+            attn_impl=self.attn_impl, quant=self.quant, name="attn",
         )
         x = x + attn(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x),
                      causal=causal, mask=mask)
         mlp = MLP(self.width, self.mlp_ratio, self.quick_gelu,
-                  dtype=self.dtype, name="mlp")
+                  dtype=self.dtype, quant=self.quant, name="mlp")
         x = x + mlp(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x))
         return x
 
@@ -120,6 +126,7 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -136,7 +143,8 @@ class Transformer(nn.Module):
         for i in range(n):
             block = block_cls(
                 self.width, self.heads, self.mlp_ratio, self.quick_gelu,
-                dtype=self.dtype, attn_impl=self.attn_impl, name=f"resblocks_{i}",
+                dtype=self.dtype, attn_impl=self.attn_impl, quant=self.quant,
+                name=f"resblocks_{i}",
             )
             x = block(x, causal, mask) if self.remat else block(
                 x, causal=causal, mask=mask)

@@ -49,6 +49,7 @@ class TextTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, text_ids: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -70,7 +71,7 @@ class TextTransformer(nn.Module):
         x = Transformer(
             cfg.width, cfg.layers, cfg.heads, cfg.mlp_ratio, self.quick_gelu,
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
-            name="transformer",
+            quant=self.quant, name="transformer",
         )(x, causal=not cfg.no_causal_mask)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)

@@ -57,6 +57,7 @@ class VisionTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -99,7 +100,7 @@ class VisionTransformer(nn.Module):
         transformer = Transformer(
             cfg.width, cfg.layers, cfg.heads, cfg.mlp_ratio, self.quick_gelu,
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
-            name="transformer",
+            quant=self.quant, name="transformer",
         )
         if hidden_layer is not None:
             # hidden_states[k] is the input of block k; index -2 therefore

@@ -1,0 +1,50 @@
+"""Int8 quantized inference path tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_embeds_tpu.core.factory import create_model
+from clip_embeds_tpu.models.clip import CLIP
+from clip_embeds_tpu.models.quant import quantize_dense_tree, quantize_weight
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    q, scale = quantize_weight(w)
+    assert q.dtype == np.int8
+    back = q.astype(np.float32) * scale
+    assert np.abs(back - w).max() < np.abs(w).max() / 100
+
+
+def test_quantized_clip_close_to_fp():
+    model, params = create_model("test-tiny", attn_impl="reference")
+    qmodel = CLIP(model.cfg, attn_impl="reference", quant=True)
+    qparams = quantize_dense_tree(jax.device_get(params))
+
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    texts = jnp.asarray(rng.integers(1, 49000, (4, 77)), jnp.int32)
+
+    out_fp = model.apply({"params": params}, images, texts)
+    out_q = qmodel.apply({"params": qparams}, images, texts)
+
+    for key in ("image_features", "text_features"):
+        a = np.asarray(out_fp[key])
+        b = np.asarray(out_q[key])
+        cos = (a * b).sum(-1)  # both L2-normalized
+        assert cos.min() > 0.98, (key, cos)
+
+
+def test_quantized_params_are_int8():
+    _, params = create_model("test-tiny", attn_impl="reference")
+    qparams = quantize_dense_tree(jax.device_get(params))
+    blk = qparams["visual"]["transformer"]["resblocks_0"]
+    assert blk["attn"]["in_proj"]["kernel_q"].dtype == np.int8
+    assert "kernel" not in blk["attn"]["in_proj"]
+    assert blk["mlp"]["c_fc"]["scale"].shape == (256,)
+    # untouched trees keep fp kernels
+    assert "kernel" in qparams["visual"]["patch_embed"]
