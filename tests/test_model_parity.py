@@ -21,17 +21,15 @@ from clip_embeds_tpu.models.clip import CLIP
 
 @pytest.fixture(scope="module")
 def ref_model_module():
-    torch = pytest.importorskip("torch")  # noqa: F841
+    import importlib.machinery
+
+    torch = pytest.importorskip("torch")
     if "ftfy" not in sys.modules:
-        import importlib.machinery
         stub = types.ModuleType("ftfy")
         stub.fix_text = lambda t: t
         stub.__spec__ = importlib.machinery.ModuleSpec("ftfy", None)
         sys.modules["ftfy"] = stub
     if "torchvision" not in sys.modules:
-        import importlib.machinery
-        import torch
-
         for name in ("torchvision", "torchvision.ops", "torchvision.ops.misc"):
             mod = types.ModuleType(name)
             mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
