@@ -29,11 +29,18 @@ def quantize_weight(kernel: np.ndarray):
 
 
 class QuantDense(nn.Module):
-    """Drop-in Dense with int8 weights + dynamic int8 activations."""
+    """Drop-in Dense with int8 weights + int8 activations.
+
+    mode='dynamic': per-tensor activation scale computed on the fly (and sown
+    into the 'quant_obs' collection for calibration).
+    mode='static': uses the calibrated 'act_scale' param — no reduction pass
+    on the hot path, which is where the int8 speedup actually materializes.
+    """
 
     features: int
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -46,10 +53,18 @@ class QuantDense(nn.Module):
         scale = self.param(
             "scale", nn.initializers.ones, (self.features,)
         )
-        # dynamic per-tensor activation quantization
         x32 = x.astype(jnp.float32)
-        a_scale = jnp.max(jnp.abs(x32)) / 127.0
-        a_scale = jnp.maximum(a_scale, 1e-8)
+        if self.mode == "static":
+            act_scale = self.param(
+                "act_scale", nn.initializers.ones, ()
+            )
+            a_scale = jnp.maximum(act_scale, 1e-8)
+        else:
+            observed = jnp.max(jnp.abs(x32))
+            self.sow("quant_obs", "act_max", observed,
+                     init_fn=lambda: jnp.zeros(()),
+                     reduce_fn=jnp.maximum)
+            a_scale = jnp.maximum(observed / 127.0, 1e-8)
         x_q = jnp.clip(jnp.round(x32 / a_scale), -127, 127).astype(jnp.int8)
         acc = jax.lax.dot_general(
             x_q, kernel_q,
@@ -63,11 +78,13 @@ class QuantDense(nn.Module):
         return y.astype(self.dtype)
 
 
-def dense(quant: bool, features: int, use_bias: bool = True, dtype=jnp.float32,
+def dense(quant, features: int, use_bias: bool = True, dtype=jnp.float32,
           name: Optional[str] = None):
-    """Dense factory switching between nn.Dense and QuantDense."""
+    """Dense factory: quant in (False/"", True/'dynamic', 'static')."""
     if quant:
-        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+        mode = "static" if quant == "static" else "dynamic"
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, mode=mode,
+                          name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
@@ -92,3 +109,37 @@ def quantize_dense_tree(params: Any) -> Any:
         return {k: walk(v, k) for k, v in node.items()}
 
     return walk(params)
+
+
+def calibrate_act_scales(model, params: Any, batches, apply_kwargs=None) -> Any:
+    """Run a dynamic-mode quant model over batches, collect per-layer
+    activation maxima, and bake 'act_scale' params for static mode."""
+    import jax
+
+    apply_kwargs = apply_kwargs or {}
+    maxima = None
+    for batch in batches:
+        _, state = model.apply(
+            {"params": params}, *batch, mutable=["quant_obs"], **apply_kwargs
+        )
+        obs = state["quant_obs"]
+        if maxima is None:
+            maxima = obs
+        else:
+            maxima = jax.tree.map(jnp.maximum, maxima, obs)
+
+    def inject(p, o):
+        if not isinstance(p, dict):
+            return p
+        out = {}
+        for k, v in p.items():
+            if isinstance(v, dict) and "kernel_q" in v and k in o:
+                act_max = np.asarray(o[k]["act_max"]).max()
+                out[k] = dict(v, act_scale=np.float32(max(act_max / 127.0, 1e-8)))
+            elif isinstance(v, dict):
+                out[k] = inject(v, o.get(k, {}) if isinstance(o, dict) else {})
+            else:
+                out[k] = v
+        return out
+
+    return inject(params, jax.device_get(maxima))

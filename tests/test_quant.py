@@ -48,3 +48,28 @@ def test_quantized_params_are_int8():
     assert blk["mlp"]["c_fc"]["scale"].shape == (256,)
     # untouched trees keep fp kernels
     assert "kernel" in qparams["visual"]["patch_embed"]
+
+
+def test_static_calibration_matches_dynamic():
+    from clip_embeds_tpu.models.quant import calibrate_act_scales
+
+    model, params = create_model("test-tiny", attn_impl="reference")
+    qdyn = CLIP(model.cfg, attn_impl="reference", quant="dynamic")
+    qparams = quantize_dense_tree(jax.device_get(params))
+
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    texts = jnp.asarray(rng.integers(1, 49000, (4, 77)), jnp.int32)
+
+    sparams = calibrate_act_scales(qdyn, qparams, [(images, texts)])
+    qstat = CLIP(model.cfg, attn_impl="reference", quant="static")
+
+    out_d = qdyn.apply({"params": qparams}, images, texts)
+    out_s = qstat.apply({"params": sparams}, images, texts)
+    for key in ("image_features", "text_features"):
+        cos = (np.asarray(out_d[key]) * np.asarray(out_s[key])).sum(-1)
+        assert cos.min() > 0.999
+
+    # static params carry calibrated scalars
+    blk = sparams["visual"]["transformer"]["resblocks_0"]
+    assert float(blk["attn"]["in_proj"]["act_scale"]) > 0
