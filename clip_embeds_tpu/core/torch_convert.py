@@ -461,3 +461,97 @@ def convert_t5_state_dict(sd: Mapping[str, Any], prefix: str = "") -> Dict[str, 
     if "lm_head.weight" in sd:
         params["lm_head"] = _dense_nb(sd, "lm_head")
     return params
+
+
+# -- BLIP-2 (HF Blip2ForImageTextRetrieval layout) -------------------------
+
+
+def _bert_attn(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    return {
+        "query": _linear(sd, f"{prefix}.attention.query"),
+        "key": _linear(sd, f"{prefix}.attention.key"),
+        "value": _linear(sd, f"{prefix}.attention.value"),
+        "out_dense": _linear(sd, f"{prefix}.output.dense"),
+        "out_ln": _layernorm(sd, f"{prefix}.output.LayerNorm"),
+    }
+
+
+def convert_blip2_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """HF Blip2ForImageTextRetrieval -> params for models.blip2.Blip2ITM."""
+    sd = dict(sd)
+
+    conv_w = _np(sd["vision_model.embeddings.patch_embedding.weight"])
+    width, cin, p, _ = conv_w.shape
+    n_v = 0
+    while f"vision_model.encoder.layers.{n_v}.layer_norm1.weight" in sd:
+        n_v += 1
+    v_blocks = {}
+    for i in range(n_v):
+        pre = f"vision_model.encoder.layers.{i}"
+        v_blocks[f"resblocks_{i}"] = {
+            "ln_1": _layernorm(sd, f"{pre}.layer_norm1"),
+            "attn": {
+                "in_proj": _linear(sd, f"{pre}.self_attn.qkv"),
+                "out_proj": _linear(sd, f"{pre}.self_attn.projection"),
+            },
+            "ln_2": _layernorm(sd, f"{pre}.layer_norm2"),
+            "mlp": {
+                "c_fc": _linear(sd, f"{pre}.mlp.fc1"),
+                "c_proj": _linear(sd, f"{pre}.mlp.fc2"),
+            },
+        }
+    vision = {
+        "patch_embed": {
+            "kernel": conv_w.transpose(2, 3, 1, 0).reshape(p * p * cin, width),
+            "bias": _np(sd["vision_model.embeddings.patch_embedding.bias"]),
+        },
+        "class_embedding": _np(
+            sd["vision_model.embeddings.class_embedding"]
+        ).reshape(-1),
+        "positional_embedding": _np(
+            sd["vision_model.embeddings.position_embedding"]
+        ).reshape(-1, width),
+        "transformer": v_blocks,
+        "post_layernorm": _layernorm(sd, "vision_model.post_layernorm"),
+    }
+
+    n_q = 0
+    while f"qformer.encoder.layer.{n_q}.attention.attention.query.weight" in sd:
+        n_q += 1
+    q_layers = {}
+    for i in range(n_q):
+        pre = f"qformer.encoder.layer.{i}"
+        layer: Dict[str, Any] = {
+            "attention": _bert_attn(sd, f"{pre}.attention"),
+            "ffn_query": {
+                "intermediate": _linear(sd, f"{pre}.intermediate_query.dense"),
+                "output": _linear(sd, f"{pre}.output_query.dense"),
+                "ln": _layernorm(sd, f"{pre}.output_query.LayerNorm"),
+            },
+        }
+        if f"{pre}.crossattention.attention.query.weight" in sd:
+            layer["crossattention"] = _bert_attn(sd, f"{pre}.crossattention")
+        if f"{pre}.intermediate.dense.weight" in sd:
+            layer["ffn"] = {
+                "intermediate": _linear(sd, f"{pre}.intermediate.dense"),
+                "output": _linear(sd, f"{pre}.output.dense"),
+                "ln": _layernorm(sd, f"{pre}.output.LayerNorm"),
+            }
+        q_layers[f"layer_{i}"] = layer
+
+    return {
+        "vision_model": vision,
+        "query_tokens": _np(sd["query_tokens"]).reshape(
+            -1, _np(sd["query_tokens"]).shape[-1]
+        ),
+        "word_embeddings": {
+            "embedding": _np(sd["embeddings.word_embeddings.weight"])
+        },
+        "position_embeddings": {
+            "embedding": _np(sd["embeddings.position_embeddings.weight"])
+        },
+        "qformer": dict(q_layers, input_ln=_layernorm(sd, "qformer.layernorm")),
+        "vision_projection": _linear(sd, "vision_projection"),
+        "text_projection": _linear(sd, "text_projection"),
+        "itm_head": _linear(sd, "itm_head"),
+    }

@@ -90,6 +90,7 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     quant: bool = False
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(
@@ -102,11 +103,13 @@ class ResidualAttentionBlock(nn.Module):
             self.width, self.heads, dtype=self.dtype,
             attn_impl=self.attn_impl, quant=self.quant, name="attn",
         )
-        x = x + attn(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x),
+        x = x + attn(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                                  name="ln_1")(x),
                      causal=causal, mask=mask)
         mlp = MLP(self.width, self.mlp_ratio, self.quick_gelu,
                   dtype=self.dtype, quant=self.quant, name="mlp")
-        x = x + mlp(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x))
+        x = x + mlp(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                                 name="ln_2")(x))
         return x
 
 
@@ -127,6 +130,7 @@ class Transformer(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     quant: bool = False
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(
@@ -144,7 +148,7 @@ class Transformer(nn.Module):
             block = block_cls(
                 self.width, self.heads, self.mlp_ratio, self.quick_gelu,
                 dtype=self.dtype, attn_impl=self.attn_impl, quant=self.quant,
-                name=f"resblocks_{i}",
+                ln_eps=self.ln_eps, name=f"resblocks_{i}",
             )
             x = block(x, causal, mask) if self.remat else block(
                 x, causal=causal, mask=mask)

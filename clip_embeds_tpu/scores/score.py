@@ -83,3 +83,41 @@ def CLIPScore(model, params, **kw) -> Score:
         return np.einsum("nd,nd->n", img, txt)
 
     return Score(pair_forward)
+
+
+def ITMScore(model, params, tokenize, image_size: int = 224,
+             max_length: int = 35, batch_size: int = 8) -> Score:
+    """BLIP-2 ITM matching probability (t2v itmscore_models/
+    blip2_itm_model.py: softmax(itm_logits)[:, 1])."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..image.preprocess import preprocess_batch
+
+    @jax.jit
+    def _logits(params, pixels, ids, mask):
+        return model.apply(
+            {"params": params}, pixels, ids, mask, method="itm_logits"
+        )
+
+    def pair_forward(images, texts):
+        out = np.zeros((len(images),), np.float32)
+        for s in range(0, len(images), batch_size):
+            imgs = images[s : s + batch_size]
+            txts = texts[s : s + batch_size]
+            rows = [tokenize(t)[:max_length] for t in txts]
+            ids = np.zeros((len(rows), max_length), np.int32)
+            mask = np.zeros((len(rows), max_length), bool)
+            for i, r in enumerate(rows):
+                ids[i, : len(r)] = r
+                mask[i, : len(r)] = True
+            pixels = preprocess_batch(list(imgs), image_size, "clip")
+            logits = np.asarray(_logits(
+                params, jnp.asarray(pixels), jnp.asarray(ids),
+                jnp.asarray(mask),
+            ))
+            e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+            out[s : s + len(rows)] = (e / e.sum(axis=-1, keepdims=True))[:, 1]
+        return out
+
+    return Score(pair_forward)
