@@ -61,6 +61,12 @@ def ref_coca():
                         attn_pooler_heads=2, attn_pooler_queries=8,
                         output_tokens=True),
     )
+    # The reference MultimodalTransformer leaves text_projection as
+    # torch.empty (its init_parameters references a nonexistent
+    # self.transformer and is never called) — initialize it so the fixture is
+    # deterministic instead of reading uninitialized memory.
+    with torch.no_grad():
+        model.text_decoder.text_projection.normal_(0, 0.02)
     model.eval()
     return model
 
