@@ -128,3 +128,29 @@ class VisionTransformer(nn.Module):
         if self.cfg.pool_type == "tok":
             return x[:, 0], x[:, 1:]
         return x, x
+
+
+def sincos_2d_pos_embed(width: int, grid_size: int, cls_token: bool = True) -> jnp.ndarray:
+    """Fixed 2D sin-cos positional embedding [*1+N, width].
+
+    Reference: open_clip/src/open_clip/pos_embed.py:20 get_2d_sincos_pos_embed
+    (MoCo-v3 convention: half the channels encode the row position, half the
+    column, each as interleaved sin/cos of scaled inverse frequencies).
+    """
+    assert width % 4 == 0
+    quarter = width // 4
+    omega = 1.0 / (10000.0 ** (jnp.arange(quarter, dtype=jnp.float32) / quarter))
+    pos = jnp.arange(grid_size, dtype=jnp.float32)
+    # reference convention ("w goes first", pos_embed.py:27-30): the first
+    # half of the channels encodes the column index, the second half the row
+    grid_col = jnp.tile(pos, grid_size)
+    grid_row = jnp.repeat(pos, grid_size)
+
+    def encode(coords):
+        angles = jnp.outer(coords, omega)
+        return jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=1)
+
+    embed = jnp.concatenate([encode(grid_col), encode(grid_row)], axis=1)
+    if cls_token:
+        embed = jnp.concatenate([jnp.zeros((1, width)), embed], axis=0)
+    return embed

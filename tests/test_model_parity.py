@@ -133,3 +133,18 @@ def test_output_tokens_shapes():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(out["image_features"]), axis=-1), 1.0, rtol=1e-5
     )
+
+
+def test_sincos_pos_embed_matches_reference():
+    import importlib.util
+
+    from clip_embeds_tpu.models.vit import sincos_2d_pos_embed
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_pe", "/root/reference/open_clip/src/open_clip/pos_embed.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ref = mod.get_2d_sincos_pos_embed(64, 5, cls_token=True)
+    mine = np.asarray(sincos_2d_pos_embed(64, 5, cls_token=True))
+    np.testing.assert_allclose(mine, ref, atol=1e-6)
