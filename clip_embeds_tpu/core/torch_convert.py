@@ -150,7 +150,7 @@ def convert_llama_state_dict(
                 "weight": _np(sd[p + ".post_attention_layernorm.weight"])
             },
             "self_attn": {
-                name: _dense_nb(sd, f"{p}.self_attn.{name}")
+                name: _linear(sd, f"{p}.self_attn.{name}")
                 for name in ("q_proj", "k_proj", "v_proj", "o_proj")
             },
             "mlp": {

@@ -38,6 +38,7 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
+    attention_bias: bool = False  # Qwen2-style q/k/v biases
 
     @property
     def head_dim(self) -> int:
@@ -108,11 +109,12 @@ class LlamaAttention(nn.Module):
         cfg = self.cfg
         b, n, _ = x.shape
         hd = cfg.head_dim
-        q = nn.Dense(cfg.num_heads * hd, use_bias=False, dtype=self.dtype,
+        qkv_bias = cfg.attention_bias
+        q = nn.Dense(cfg.num_heads * hd, use_bias=qkv_bias, dtype=self.dtype,
                      name="q_proj")(x)
-        k = nn.Dense(cfg.kv_heads * hd, use_bias=False, dtype=self.dtype,
+        k = nn.Dense(cfg.kv_heads * hd, use_bias=qkv_bias, dtype=self.dtype,
                      name="k_proj")(x)
-        v = nn.Dense(cfg.kv_heads * hd, use_bias=False, dtype=self.dtype,
+        v = nn.Dense(cfg.kv_heads * hd, use_bias=qkv_bias, dtype=self.dtype,
                      name="v_proj")(x)
 
         q = q.reshape(b, n, cfg.num_heads, hd).transpose(0, 2, 1, 3)
