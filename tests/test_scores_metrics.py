@@ -171,3 +171,61 @@ def test_lora_gradients_only_adapters():
     assert np.abs(np.asarray(g_lora["q_proj/kernel"]["a"])).sum() >= 0  # exists
     g_base = jax.grad(lambda b: loss(lora, b))(params)
     np.testing.assert_array_equal(np.asarray(g_base["q_proj"]["kernel"]), 0.0)
+
+
+def test_tau_optimization_matches_reference():
+    """Compare against the reference implementation run as an oracle."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_tau", "/root/reference/t2v_metrics/tau_optimization.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from clip_embeds_tpu.evals.tau import TauStats, tau_optimization
+
+    rng = np.random.default_rng(0)
+    human = rng.integers(0, 4, (6, 8)).astype(float)
+    metric = human + rng.normal(0, 0.8, (6, 8))
+
+    ours = tau_optimization(metric, human, TauStats.acc_23)
+    theirs = ref.tau_optimization(
+        metric, human, ref.TauSufficientStats.acc_23
+    )
+    assert ours.best_threshold == pytest.approx(theirs.best_threshold)
+    assert ours.best_tau == pytest.approx(theirs.best_tau)
+    np.testing.assert_allclose(ours.taus, theirs.taus)
+
+
+def test_tau_optimization_perfect_metric():
+    from clip_embeds_tpu.evals.tau import TauStats, tau_optimization
+
+    human = np.asarray([[1.0, 2.0, 3.0, 4.0]])
+    res = tau_optimization(human, human, TauStats.acc_23)
+    assert res.best_tau == 1.0
+    assert res.best_threshold == 0.0
+
+
+def test_kendall_variants_vs_reference():
+    import importlib.util
+
+    # reference KendallVariants lives in dataset.py which imports heavy deps;
+    # use scipy as the independent oracle for tau-b instead
+    from scipy import stats
+
+    from clip_embeds_tpu.evals.tau import correlation_metrics, kendall_variants
+
+    rng = np.random.default_rng(3)
+    gold = rng.integers(0, 5, 30).astype(float)
+    metric = gold + rng.normal(0, 1.0, 30)
+
+    ours = kendall_variants(gold, metric, "b")
+    expected = stats.kendalltau(metric, gold, variant="b").statistic
+    assert ours == pytest.approx(expected)
+
+    bundle = correlation_metrics(gold, metric)
+    assert set(bundle) == {"pearson", "kendall_b", "pairwise_acc",
+                           "pairwise_acc_threshold"}
+    assert -1 <= bundle["kendall_b"] <= 1
+    assert 0 <= bundle["pairwise_acc"] <= 1
