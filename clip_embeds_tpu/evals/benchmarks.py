@@ -210,3 +210,59 @@ BENCHMARKS.update({
     "coco_counterfactuals": COCOCounterfactuals,
     "seetrue": SeeTrue,
 })
+
+
+class GenAIBench(BenchmarkDataset):
+    """GenAI-Bench image alignment (t2v dataset.py:1263-1430): generated
+    images with per-prompt human 1-5 alignment ratings; metric = human
+    correlation bundle, optionally per skill tag.
+
+    Root layout: metadata.json {image_idx: {image, prompt, human_alignment:
+    [ratings]}}, optional genai_skills.json {tag: [prompt_idx,...]}."""
+
+    def _load(self):
+        with open(os.path.join(self.root_dir, "metadata.json")) as fh:
+            self.metadata = json.load(fh)
+        self.keys = sorted(self.metadata)
+        return [{
+            "images": [os.path.join(self.root_dir, "images",
+                                    self.metadata[k]["image"])],
+            "texts": [self.metadata[k]["prompt"]],
+        } for k in self.keys]
+
+    def evaluate_scores(self, scores: np.ndarray) -> Dict[str, float]:
+        from .tau import correlation_metrics
+
+        ours = np.asarray(scores).reshape(len(self.samples))
+        human = [
+            float(np.mean(self.metadata[k]["human_alignment"]))
+            for k in self.keys
+        ]
+        return {"alignment": correlation_metrics(human, ours)}
+
+    def evaluate_scores_per_skill(self, scores: np.ndarray) -> Dict[str, Dict]:
+        from .tau import correlation_metrics
+
+        ours = np.asarray(scores).reshape(len(self.samples))
+        human = np.asarray([
+            float(np.mean(self.metadata[k]["human_alignment"]))
+            for k in self.keys
+        ])
+        with open(os.path.join(self.root_dir, "genai_skills.json")) as fh:
+            tags = json.load(fh)
+        prompt_of = {
+            k: self.metadata[k].get("prompt_idx", i)
+            for i, k in enumerate(self.keys)
+        }
+        out = {}
+        for tag, prompt_idxs in tags.items():
+            idx = [i for i, k in enumerate(self.keys)
+                   if prompt_of[k] in prompt_idxs]
+            if idx:
+                out[tag] = {"alignment": correlation_metrics(
+                    human[idx], ours[idx]
+                )}
+        return out
+
+
+BENCHMARKS["genai_bench"] = GenAIBench

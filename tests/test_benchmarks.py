@@ -170,3 +170,37 @@ def test_naturalbench_and_seetrue(tmp_path):
     _, m = run_benchmark(Score(st_forward), st)
     assert m["accuracy"] == 1.0
     assert m["accuracy/coco"] == 1.0
+
+
+def test_genai_bench(tmp_path):
+    import json as _json
+
+    from clip_embeds_tpu.evals.benchmarks import GenAIBench
+
+    os.makedirs(tmp_path / "images")
+    meta = {}
+    rng = np.random.default_rng(9)
+    for i in range(8):
+        _img(tmp_path, f"images/{i}.jpg", i)
+        meta[f"{i:05d}"] = {
+            "image": f"{i}.jpg", "prompt": f"prompt {i}",
+            "human_alignment": [1 + i % 5, 1 + i % 5],
+            "prompt_idx": i,
+        }
+    (tmp_path / "metadata.json").write_text(_json.dumps(meta))
+    (tmp_path / "genai_skills.json").write_text(
+        _json.dumps({"basic": [0, 1, 2, 3], "advanced": [4, 5, 6, 7]})
+    )
+    ds = GenAIBench(str(tmp_path))
+    assert len(ds) == 8
+
+    # perfect metric == human rating
+    def pair_forward(images, texts):
+        return np.asarray(
+            [1 + int(t.split()[-1]) % 5 for t in texts], np.float32
+        )
+
+    tensor, m = run_benchmark(Score(pair_forward), ds)
+    assert m["alignment"]["pairwise_acc"] == 1.0
+    per_skill = ds.evaluate_scores_per_skill(tensor)
+    assert set(per_skill) == {"basic", "advanced"}
