@@ -142,7 +142,9 @@ class Transformer(nn.Module):
     ) -> jax.Array:
         block_cls = ResidualAttentionBlock
         if self.remat:
-            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(1,))
+            # static_argnums counts the bound module as index 0: (self, x,
+            # causal, mask) -> causal is index 2
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(2,))
         n = self.layers if num_blocks is None else num_blocks
         for i in range(n):
             block = block_cls(

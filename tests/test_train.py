@@ -129,3 +129,18 @@ def test_decay_mask_excludes_norms_and_scalars(tiny_model):
     blk = v["transformer"]["resblocks_0"]
     assert blk["attn"]["in_proj"]["kernel"] is True
     assert blk["attn"]["in_proj"]["bias"] is False
+
+
+def test_remat_train_step_runs():
+    """Regression: remat + flash custom_vjp static args (nn.remat counts self
+    as argnum 0; a wrong index leaks a tracer into nondiff_argnums)."""
+    from clip_embeds_tpu.models.clip import CLIP
+
+    model0, params = create_model("test-tiny", attn_impl="reference")
+    model = CLIP(model0.cfg, attn_impl="reference", remat=True)
+    tx = adamw(1e-4)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_clip_train_step(model))
+    batch = _batches(1)[0]
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
