@@ -35,9 +35,14 @@ def adamw(
     eps: float = 1e-6,
     weight_decay: float = 0.2,
     max_grad_norm: float | None = None,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
     """AdamW with CLIP defaults (reference params.py get_default_params:
-    ViT models use beta2=0.98, eps=1e-6) and masked weight decay."""
+    ViT models use beta2=0.98, eps=1e-6) and masked weight decay.
+
+    mu_dtype=jnp.bfloat16 halves the first-moment memory — useful on a single
+    chip where the fp32 optimizer state dominates HBM; on a mesh the state is
+    sharded over the data axis anyway."""
     tx = optax.adamw(
         learning_rate=learning_rate,
         b1=beta1,
@@ -45,6 +50,7 @@ def adamw(
         eps=eps,
         weight_decay=weight_decay,
         mask=decay_mask,
+        mu_dtype=mu_dtype,
     )
     if max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
