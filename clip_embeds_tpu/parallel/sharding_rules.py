@@ -44,3 +44,24 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+def zero1_opt_state_sharding(mesh: Mesh, opt_state: Any, axis: str = "data") -> Any:
+    """Shard optimizer-moment leaves over the data axis (ZeRO-1 style).
+
+    The reference's DDP replicates optimizer state on every GPU; under pjit we
+    can instead shard the Adam mu/nu leaves across the mesh — params stay
+    replicated, XLA inserts the gather/scatter around the update. Leaves whose
+    leading dim does not divide the axis are left replicated.
+    """
+    n = mesh.shape[axis]
+
+    def spec_for(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] % n == 0 \
+                and leaf.shape[0] >= n:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(
+        lambda leaf: jax.device_put(leaf, spec_for(leaf)), opt_state
+    )

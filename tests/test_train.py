@@ -144,3 +144,31 @@ def test_remat_train_step_runs():
     batch = _batches(1)[0]
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_zero1_sharded_opt_state_matches(tiny_model):
+    """Optimizer-state sharding over the mesh preserves the update exactly."""
+    from clip_embeds_tpu.parallel.sharding_rules import zero1_opt_state_sharding
+
+    model, params = tiny_model
+    tx = adamw(1e-3)
+    batch = _batches(1, bs=16)[0]
+    step = jax.jit(make_clip_train_step(model))
+
+    s_ref = TrainState.create(params, tx)
+    s_ref, _ = step(s_ref, batch)
+
+    mesh = create_mesh(8, 1)
+    s_sh = TrainState.create(params, tx)
+    s_sh = s_sh.replace(
+        opt_state=zero1_opt_state_sharding(mesh, s_sh.opt_state)
+    )
+    sharding = batch_sharding(mesh)
+    batch_sh = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    with jax.sharding.set_mesh(mesh):
+        s_sh, _ = step(s_sh, batch_sh)
+
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_sh.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6
+        )
