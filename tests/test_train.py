@@ -170,5 +170,5 @@ def test_zero1_sharded_opt_state_matches(tiny_model):
 
     for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_sh.params)):
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5
         )
