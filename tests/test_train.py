@@ -168,7 +168,8 @@ def test_zero1_sharded_opt_state_matches(tiny_model):
     with jax.sharding.set_mesh(mesh):
         s_sh, _ = step(s_sh, batch_sh)
 
+    # absolute tolerance relative to the update scale (lr=1e-3): Adam's
+    # rsqrt(nu) amplifies reduction-order noise where nu ~ 0, so relative
+    # comparison is meaningless there
     for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_sh.params)):
-        np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5
-        )
+        assert np.abs(np.asarray(b) - np.asarray(a)).max() < 1e-4
