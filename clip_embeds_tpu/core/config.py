@@ -146,6 +146,13 @@ MODEL_CONFIGS["RN50x4"] = _cfg(
     dict(width=640, heads=10, layers=12),
 )
 
+# Reward/preference scorers used by t2v clipscore_models: HPSv2 and PickScore
+# are plain CLIP ViT-H-14 checkpoints (clipscore_models/{hpsv2,pickscore}
+# load open_clip ViT-H-14 / HF CLIP-H weights) — alias the arch so converted
+# weights drop in via CLIPScorer.
+MODEL_CONFIGS["HPSv2"] = MODEL_CONFIGS["ViT-H-14"]
+MODEL_CONFIGS["PickScore"] = MODEL_CONFIGS["ViT-H-14"]
+
 # A tiny config for tests/CI — not in the reference.
 MODEL_CONFIGS["test-tiny"] = _cfg(
     64,

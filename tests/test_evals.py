@@ -216,3 +216,40 @@ def test_pacl_scorer_end_to_end(tmp_path):
     scorer = PACLScorer(model, params, head, head_params, batch_size=4)
     r = eval_whatsup(scorer.score_batch, dataset, str(tmp_path))
     assert "individual_accuracy" in r
+
+
+def test_flickr_retrieval(tmp_path):
+    import json as _json
+
+    from clip_embeds_tpu.evals.flickr import (
+        evaluate_retrieval,
+        load_flickr_annotations,
+    )
+
+    ann = [
+        {"image": f"{i}.jpg", "captions": [f"cap {i} v{j}" for j in range(3)]}
+        for i in range(5)
+    ]
+    (tmp_path / "annotations.json").write_text(_json.dumps(ann))
+    loaded = load_flickr_annotations(str(tmp_path))
+    assert len(loaded) == 5
+
+    dim = 8
+
+    def direction(i):
+        r = np.random.default_rng(i)
+        v = r.standard_normal(dim)
+        return v / np.linalg.norm(v)
+
+    def encode_images(paths):
+        return np.stack([
+            direction(int(os.path.basename(p).split(".")[0])) for p in paths
+        ])
+
+    def encode_texts(texts):
+        return np.stack([direction(int(t.split()[1])) for t in texts])
+
+    m = evaluate_retrieval(encode_images, encode_texts, loaded)
+    assert m["text_to_image_R@1"] == 1.0
+    assert m["image_to_text_R@1"] == 1.0
+    assert m["mean_recall"] == 1.0
