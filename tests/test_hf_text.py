@@ -1,0 +1,49 @@
+"""Encoder-LM text towers (HFTextEncoder role) tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_embeds_tpu.models.hf_text import (
+    BertTextConfig,
+    BertTextTower,
+    T5TextTower,
+    mean_pool,
+)
+from clip_embeds_tpu.models.t5 import T5Config
+
+
+def test_mean_pool_masked():
+    hidden = jnp.asarray([[[1.0, 1.0], [3.0, 3.0], [100.0, 100.0]]])
+    mask = jnp.asarray([[1, 1, 0]])
+    out = mean_pool(hidden, mask)
+    np.testing.assert_allclose(np.asarray(out), [[2.0, 2.0]])
+
+
+def test_t5_text_tower():
+    cfg = T5Config(vocab_size=128, d_model=32, d_kv=8, d_ff=64,
+                   num_layers=2, num_heads=4)
+    tower = T5TextTower(cfg, embed_dim=16)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (3, 9)))
+    mask = jnp.ones((3, 9), bool)
+    params = tower.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    out = tower.apply({"params": params}, ids, mask)
+    assert out.shape == (3, 16)
+    # masked positions must not affect the embedding
+    ids2 = ids.at[:, 7:].set(99)
+    mask2 = mask.at[:, 7:].set(False)
+    a = tower.apply({"params": params}, ids, mask2)
+    b = tower.apply({"params": params}, ids2, mask2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_bert_text_tower():
+    cfg = BertTextConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                         num_heads=4, intermediate_size=64)
+    tower = BertTextTower(cfg, embed_dim=16, pooler="first")
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 128, (2, 7)))
+    params = tower.init(jax.random.PRNGKey(0), ids)["params"]
+    out = tower.apply({"params": params}, ids)
+    assert out.shape == (2, 16)
