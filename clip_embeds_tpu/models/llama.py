@@ -105,6 +105,7 @@ class LlamaAttention(nn.Module):
         cos: jax.Array,
         sin: jax.Array,
         kv_mask: Optional[jax.Array],
+        decode: bool = False,
     ) -> jax.Array:
         cfg = self.cfg
         b, n, _ = x.shape
@@ -124,17 +125,54 @@ class LlamaAttention(nn.Module):
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 
-        if cfg.kv_heads != cfg.num_heads:
-            rep = cfg.num_heads // cfg.kv_heads
-            k = jnp.repeat(k, rep, axis=1)
-            v = jnp.repeat(v, rep, axis=1)
-
-        mask = None
-        if kv_mask is not None:
-            mask = kv_mask[:, None, None, :]  # [B,1,1,N] broadcast over queries
-        out = dot_product_attention(
-            q, k, v, causal=True, mask=mask, impl=self.attn_impl
-        )
+        if decode:
+            # autoregressive KV cache (flax 'cache' collection): append this
+            # chunk's k/v at the write index and attend over the filled prefix
+            max_len = cfg.max_position_embeddings
+            cache_k = self.variable(
+                "cache", "cached_k",
+                lambda: jnp.zeros((b, cfg.kv_heads, max_len, hd), self.dtype),
+            )
+            cache_v = self.variable(
+                "cache", "cached_v",
+                lambda: jnp.zeros((b, cfg.kv_heads, max_len, hd), self.dtype),
+            )
+            idx_var = self.variable(
+                "cache", "cache_index", lambda: jnp.zeros((), jnp.int32)
+            )
+            idx = idx_var.value
+            cache_k.value = jax.lax.dynamic_update_slice(
+                cache_k.value, k.astype(self.dtype), (0, 0, idx, 0)
+            )
+            cache_v.value = jax.lax.dynamic_update_slice(
+                cache_v.value, v.astype(self.dtype), (0, 0, idx, 0)
+            )
+            idx_var.value = idx + n
+            k_all, v_all = cache_k.value, cache_v.value
+            if cfg.kv_heads != cfg.num_heads:
+                rep = cfg.num_heads // cfg.kv_heads
+                k_all = jnp.repeat(k_all, rep, axis=1)
+                v_all = jnp.repeat(v_all, rep, axis=1)
+            # key j visible to query i (absolute position idx+i) iff j <= idx+i
+            key_pos = jnp.arange(max_len)[None, None, None, :]
+            q_pos = (idx + jnp.arange(n))[None, None, :, None]
+            mask = key_pos <= q_pos
+            if kv_mask is not None:
+                mask = jnp.logical_and(mask, kv_mask[:, None, None, :])
+            out = dot_product_attention(
+                q, k_all, v_all, causal=False, mask=mask, impl="reference"
+            )
+        else:
+            if cfg.kv_heads != cfg.num_heads:
+                rep = cfg.num_heads // cfg.kv_heads
+                k = jnp.repeat(k, rep, axis=1)
+                v = jnp.repeat(v, rep, axis=1)
+            mask = None
+            if kv_mask is not None:
+                mask = kv_mask[:, None, None, :]
+            out = dot_product_attention(
+                q, k, v, causal=True, mask=mask, impl=self.attn_impl
+            )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.num_heads * hd)
         return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                         name="o_proj")(out)
@@ -161,11 +199,11 @@ class LlamaBlock(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, cos, sin, kv_mask):
+    def __call__(self, x, cos, sin, kv_mask, decode: bool = False):
         h = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                     name="input_layernorm")(x)
         x = x + LlamaAttention(self.cfg, self.dtype, self.attn_impl,
-                               name="self_attn")(h, cos, sin, kv_mask)
+                               name="self_attn")(h, cos, sin, kv_mask, decode)
         h = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                     name="post_attention_layernorm")(x)
         return x + LlamaMLP(self.cfg, self.dtype, name="mlp")(h)
@@ -184,8 +222,10 @@ class LlamaModel(nn.Module):
     def __call__(
         self,
         inputs_embeds: jax.Array,            # [B, N, D]
-        attention_mask: Optional[jax.Array] = None,  # bool [B, N]
+        attention_mask: Optional[jax.Array] = None,  # bool [B, N] (in decode
+                                                     # mode: over the cache)
         positions: Optional[jax.Array] = None,       # int [B, N]
+        decode: bool = False,
     ) -> jax.Array:
         cfg = self.cfg
         b, n, _ = inputs_embeds.shape
@@ -199,7 +239,8 @@ class LlamaModel(nn.Module):
             block_cls = nn.remat(LlamaBlock)
         for i in range(cfg.num_layers):
             x = block_cls(cfg, self.dtype, self.attn_impl,
-                          name=f"layers_{i}")(x, cos, sin, attention_mask)
+                          name=f"layers_{i}")(x, cos, sin, attention_mask,
+                                              decode)
         return RMSNorm(cfg.rms_norm_eps, self.dtype, name="norm")(x)
 
 
@@ -232,8 +273,9 @@ class LlamaForCausalLM(nn.Module):
         inputs_embeds: jax.Array,
         attention_mask: Optional[jax.Array] = None,
         positions: Optional[jax.Array] = None,
+        decode: bool = False,
     ) -> jax.Array:
-        return self.model(inputs_embeds, attention_mask, positions)
+        return self.model(inputs_embeds, attention_mask, positions, decode)
 
     def logits(self, hidden: jax.Array) -> jax.Array:
         if self.cfg.tie_word_embeddings:
