@@ -93,3 +93,35 @@ def greedy_generate(
         cond, body, (jnp.asarray(0), next_token, cache, done, out)
     )
     return out
+
+
+def llava_greedy_generate(
+    llava_model,               # models.llava.Llava
+    params: Any,
+    input_ids: jax.Array,      # [B, L] prompt with one IMAGE_TOKEN_INDEX
+    pixel_values: jax.Array,   # [B, S, S, 3]
+    max_new_tokens: int,
+    eos_token_id: Optional[int] = None,
+) -> jax.Array:
+    """Greedy caption/answer generation for LLaVA (t2v llava generate path):
+    splice image features into the prompt embeddings, then decode through the
+    language model's KV cache."""
+    image_features = llava_model.apply(
+        {"params": params}, pixel_values, method="encode_images"
+    )
+    embeds = llava_model.apply(
+        {"params": params}, input_ids, image_features, method="merge"
+    )
+    from .llama import LlamaForCausalLM
+
+    lm = LlamaForCausalLM(
+        llava_model.cfg.llama, dtype=llava_model.dtype,
+        attn_impl=llava_model.attn_impl,
+    )
+    return greedy_generate(
+        lm, params["language_model"], input_ids=jnp.zeros(
+            (embeds.shape[0], 0), jnp.int32
+        ),
+        max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+        inputs_embeds=embeds,
+    )

@@ -86,3 +86,37 @@ def test_greedy_matches_hf(pair):
         model, params, jnp.asarray(ids, jnp.int32), max_new_tokens=8
     ))
     np.testing.assert_array_equal(ours, hf_out)
+
+
+def test_llava_greedy_generate():
+    from clip_embeds_tpu.core.config import VisionConfig
+    from clip_embeds_tpu.models.generate import llava_greedy_generate
+    from clip_embeds_tpu.models.llava import Llava, LlavaConfig
+
+    cfg = LlavaConfig(
+        llama=LlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, max_position_embeddings=64,
+        ),
+        vision=VisionConfig(image_size=32, patch_size=16, width=64, layers=2,
+                            head_width=32),
+    )
+    model = Llava(cfg, attn_impl="reference")
+    ids = jnp.asarray([[1, 5, -200, 7, 8]], jnp.int32)
+    pixels = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), ids, pixels)["params"]
+    out = llava_greedy_generate(
+        model, params, ids, pixels, max_new_tokens=6, eos_token_id=2
+    )
+    assert out.shape == (1, 6)
+    assert np.asarray(out).min() >= 0
+
+    # determinism and image dependence
+    out2 = llava_greedy_generate(
+        model, params, ids, pixels, max_new_tokens=6, eos_token_id=2
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = llava_greedy_generate(
+        model, params, ids, pixels + 1.0, max_new_tokens=6, eos_token_id=2
+    )
+    assert not np.array_equal(np.asarray(out), np.asarray(out3))
