@@ -34,6 +34,7 @@ class CLIP(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     quant: bool = False  # int8 serving path (models/quant.py)
+    scan_layers: bool = False  # lax.scan over blocks (small HLO, fast compile)
 
     def setup(self):
         if self.cfg.vision.tower == "resnet":
@@ -51,12 +52,12 @@ class CLIP(nn.Module):
             self.visual = VisionTransformer(
                 self.cfg.vision, self.cfg.embed_dim, self.cfg.quick_gelu,
                 dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
-                quant=self.quant,
+                quant=self.quant, scan_layers=self.scan_layers,
             )
         self.text = TextTransformer(
             self.cfg.text, self.cfg.embed_dim, self.cfg.quick_gelu,
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
-            quant=self.quant,
+            quant=self.quant, scan_layers=self.scan_layers,
         )
         self.logit_scale = self.param(
             "logit_scale",
@@ -110,3 +111,16 @@ class CLIP(nn.Module):
         if self.logit_bias is not None:
             logits = logits + self.logit_bias
         return logits, logits.T
+
+
+def stack_clip_params(params):
+    """Unrolled CLIP params -> scan_layers layout (towers' blocks stacked)."""
+    from .layers import stack_block_params
+
+    out = dict(params)
+    for tower in ("visual", "text"):
+        if tower in out and "transformer" in out[tower]:
+            t = dict(out[tower])
+            t["transformer"] = stack_block_params(t["transformer"])
+            out[tower] = t
+    return out

@@ -155,3 +155,63 @@ class Transformer(nn.Module):
             x = block(x, causal, mask) if self.remat else block(
                 x, causal=causal, mask=mask)
         return x
+
+
+class _ScanBlock(ResidualAttentionBlock):
+    """ResidualAttentionBlock with a (carry, out) signature for nn.scan."""
+
+    def __call__(self, x, causal=False, mask=None):  # type: ignore[override]
+        return super().__call__(x, causal=causal, mask=mask), None
+
+
+class ScanTransformer(nn.Module):
+    """lax.scan over stacked block params: one compiled layer body instead of
+    an L-times unrolled HLO. Cuts XLA compile size/time dramatically for deep
+    towers (the remote-compile path chokes on the unrolled dual-tower HLO).
+
+    Params live under 'blocks' with a leading layer axis; use
+    stack_block_params() to convert a converted/unrolled tree.
+    """
+
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: float = 4.0
+    quick_gelu: bool = False
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    ln_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        causal: bool = False,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        scan = nn.scan(
+            _ScanBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            length=self.layers,
+        )
+        block = scan(
+            self.width, self.heads, self.mlp_ratio, self.quick_gelu,
+            dtype=self.dtype, attn_impl=self.attn_impl, ln_eps=self.ln_eps,
+            name="blocks",
+        )
+        x, _ = block(x, causal, mask)
+        return x
+
+
+def stack_block_params(transformer_params: dict) -> dict:
+    """{'resblocks_0': t0, ...} -> {'blocks': stacked} for ScanTransformer."""
+    import numpy as _np
+
+    n = len([k for k in transformer_params if k.startswith("resblocks_")])
+    trees = [transformer_params[f"resblocks_{i}"] for i in range(n)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(
+        [jnp.asarray(x) for x in xs], axis=0
+    ), *trees)
+    return {"blocks": stacked}

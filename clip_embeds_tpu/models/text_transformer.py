@@ -50,6 +50,7 @@ class TextTransformer(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     quant: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, text_ids: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -68,11 +69,21 @@ class TextTransformer(nn.Module):
         )
         x = x + pos[: x.shape[1]].astype(self.dtype)
 
-        x = Transformer(
-            cfg.width, cfg.layers, cfg.heads, cfg.mlp_ratio, self.quick_gelu,
-            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
-            quant=self.quant, name="transformer",
-        )(x, causal=not cfg.no_causal_mask)
+        if self.scan_layers:
+            from .layers import ScanTransformer
+
+            transformer = ScanTransformer(
+                cfg.width, cfg.layers, cfg.heads, cfg.mlp_ratio,
+                self.quick_gelu, dtype=self.dtype, attn_impl=self.attn_impl,
+                name="transformer",
+            )
+        else:
+            transformer = Transformer(
+                cfg.width, cfg.layers, cfg.heads, cfg.mlp_ratio,
+                self.quick_gelu, dtype=self.dtype, attn_impl=self.attn_impl,
+                remat=self.remat, quant=self.quant, name="transformer",
+            )
+        x = transformer(x, causal=not cfg.no_causal_mask)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         pooled, tokens = text_global_pool(x, text_ids, cfg.pool_type)

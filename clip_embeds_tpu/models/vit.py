@@ -58,6 +58,7 @@ class VisionTransformer(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     quant: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -97,11 +98,21 @@ class VisionTransformer(nn.Module):
         if not cfg.no_ln_pre:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
 
-        transformer = Transformer(
-            cfg.width, cfg.layers, cfg.heads, cfg.mlp_ratio, self.quick_gelu,
-            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
-            quant=self.quant, name="transformer",
-        )
+        if self.scan_layers:
+            from .layers import ScanTransformer
+
+            assert hidden_layer is None, "hidden tap needs unrolled layers"
+            transformer = ScanTransformer(
+                cfg.width, cfg.layers, cfg.heads, cfg.mlp_ratio,
+                self.quick_gelu, dtype=self.dtype, attn_impl=self.attn_impl,
+                name="transformer",
+            )
+        else:
+            transformer = Transformer(
+                cfg.width, cfg.layers, cfg.heads, cfg.mlp_ratio,
+                self.quick_gelu, dtype=self.dtype, attn_impl=self.attn_impl,
+                remat=self.remat, quant=self.quant, name="transformer",
+            )
         if hidden_layer is not None:
             # hidden_states[k] is the input of block k; index -2 therefore
             # skips the last block.

@@ -148,3 +148,24 @@ def test_sincos_pos_embed_matches_reference():
     ref = mod.get_2d_sincos_pos_embed(64, 5, cls_token=True)
     mine = np.asarray(sincos_2d_pos_embed(64, 5, cls_token=True))
     np.testing.assert_allclose(mine, ref, atol=1e-6)
+
+
+def test_scan_layers_matches_unrolled():
+    import jax
+
+    from clip_embeds_tpu.core.factory import create_model
+    from clip_embeds_tpu.models.clip import CLIP, stack_clip_params
+
+    model, params = create_model("test-tiny", attn_impl="reference")
+    smodel = CLIP(model.cfg, attn_impl="reference", scan_layers=True)
+    sparams = stack_clip_params(params)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    texts = jnp.asarray(rng.integers(1, 49000, (2, 77)), jnp.int32)
+    a = model.apply({"params": params}, images, texts)
+    b = smodel.apply({"params": sparams}, images, texts)
+    for key in ("image_features", "text_features"):
+        np.testing.assert_allclose(
+            np.asarray(b[key]), np.asarray(a[key]), rtol=2e-4, atol=2e-5
+        )
