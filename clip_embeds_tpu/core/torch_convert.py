@@ -476,18 +476,16 @@ def _bert_attn(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
     }
 
 
-def convert_blip2_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
-    """HF Blip2ForImageTextRetrieval -> params for models.blip2.Blip2ITM."""
-    sd = dict(sd)
-
-    conv_w = _np(sd["vision_model.embeddings.patch_embedding.weight"])
+def _blip2_vision(sd: Mapping[str, Any], prefix: str = "vision_model") -> Dict[str, Any]:
+    """HF Blip2/InstructBlip vision model -> Blip2VisionTower params."""
+    conv_w = _np(sd[f"{prefix}.embeddings.patch_embedding.weight"])
     width, cin, p, _ = conv_w.shape
     n_v = 0
-    while f"vision_model.encoder.layers.{n_v}.layer_norm1.weight" in sd:
+    while f"{prefix}.encoder.layers.{n_v}.layer_norm1.weight" in sd:
         n_v += 1
     v_blocks = {}
     for i in range(n_v):
-        pre = f"vision_model.encoder.layers.{i}"
+        pre = f"{prefix}.encoder.layers.{i}"
         v_blocks[f"resblocks_{i}"] = {
             "ln_1": _layernorm(sd, f"{pre}.layer_norm1"),
             "attn": {
@@ -500,27 +498,31 @@ def convert_blip2_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
                 "c_proj": _linear(sd, f"{pre}.mlp.fc2"),
             },
         }
-    vision = {
+    return {
         "patch_embed": {
             "kernel": conv_w.transpose(2, 3, 1, 0).reshape(p * p * cin, width),
-            "bias": _np(sd["vision_model.embeddings.patch_embedding.bias"]),
+            "bias": _np(sd[f"{prefix}.embeddings.patch_embedding.bias"]),
         },
         "class_embedding": _np(
-            sd["vision_model.embeddings.class_embedding"]
+            sd[f"{prefix}.embeddings.class_embedding"]
         ).reshape(-1),
         "positional_embedding": _np(
-            sd["vision_model.embeddings.position_embedding"]
+            sd[f"{prefix}.embeddings.position_embedding"]
         ).reshape(-1, width),
         "transformer": v_blocks,
-        "post_layernorm": _layernorm(sd, "vision_model.post_layernorm"),
+        "post_layernorm": _layernorm(sd, f"{prefix}.post_layernorm"),
     }
 
+
+def _qformer_layers(sd: Mapping[str, Any], prefix: str = "qformer") -> Dict[str, Any]:
+    """HF Blip2/InstructBlip Q-Former encoder layers -> QFormer layer params
+    (without the input layernorm, whose key differs between the two)."""
     n_q = 0
-    while f"qformer.encoder.layer.{n_q}.attention.attention.query.weight" in sd:
+    while f"{prefix}.encoder.layer.{n_q}.attention.attention.query.weight" in sd:
         n_q += 1
-    q_layers = {}
+    q_layers: Dict[str, Any] = {}
     for i in range(n_q):
-        pre = f"qformer.encoder.layer.{i}"
+        pre = f"{prefix}.encoder.layer.{i}"
         layer: Dict[str, Any] = {
             "attention": _bert_attn(sd, f"{pre}.attention"),
             "ffn_query": {
@@ -538,9 +540,14 @@ def convert_blip2_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
                 "ln": _layernorm(sd, f"{pre}.output.LayerNorm"),
             }
         q_layers[f"layer_{i}"] = layer
+    return q_layers
 
+
+def convert_blip2_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """HF Blip2ForImageTextRetrieval -> params for models.blip2.Blip2ITM."""
+    sd = dict(sd)
     return {
-        "vision_model": vision,
+        "vision_model": _blip2_vision(sd),
         "query_tokens": _np(sd["query_tokens"]).reshape(
             -1, _np(sd["query_tokens"]).shape[-1]
         ),
@@ -550,8 +557,36 @@ def convert_blip2_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
         "position_embeddings": {
             "embedding": _np(sd["embeddings.position_embeddings.weight"])
         },
-        "qformer": dict(q_layers, input_ln=_layernorm(sd, "qformer.layernorm")),
+        "qformer": dict(
+            _qformer_layers(sd), input_ln=_layernorm(sd, "qformer.layernorm")
+        ),
         "vision_projection": _linear(sd, "vision_projection"),
         "text_projection": _linear(sd, "text_projection"),
         "itm_head": _linear(sd, "itm_head"),
+    }
+
+
+def convert_instructblip_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """HF InstructBlipForConditionalGeneration (FlanT5 LM) ->
+    params for models.instructblip.InstructBlipT5."""
+    sd = dict(sd)
+    return {
+        "vision_model": _blip2_vision(sd),
+        "query_tokens": _np(sd["query_tokens"]).reshape(
+            -1, _np(sd["query_tokens"]).shape[-1]
+        ),
+        "word_embeddings": {
+            "embedding": _np(sd["qformer.embeddings.word_embeddings.weight"])
+        },
+        "position_embeddings": {
+            "embedding": _np(
+                sd["qformer.embeddings.position_embeddings.weight"]
+            )
+        },
+        "qformer": dict(
+            _qformer_layers(sd),
+            input_ln=_layernorm(sd, "qformer.embeddings.layernorm"),
+        ),
+        "language_projection": _linear(sd, "language_projection"),
+        "t5": convert_t5_state_dict(sd, prefix="language_model."),
     }

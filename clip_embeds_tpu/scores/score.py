@@ -70,6 +70,18 @@ def VQAScore(model, params, tokenize, **kw) -> Score:
     return Score(scorer.forward)
 
 
+def InstructBlipVQAScore(model, params, qformer_tokenize, t5_tokenize,
+                         **kw) -> Score:
+    """VQAScore factory over an InstructBLIP-FlanT5 model
+    (t2v_metrics instructblip_model.py)."""
+    from .vqa_score import InstructBlipVQAScorer
+
+    scorer = InstructBlipVQAScorer(
+        model, params, qformer_tokenize, t5_tokenize, **kw
+    )
+    return Score(scorer.forward)
+
+
 def CLIPScore(model, params, **kw) -> Score:
     """Cosine-similarity CLIPScore over a JAX CLIP model
     (t2v clipscore_models/clip_model.py:44-58)."""

@@ -199,6 +199,115 @@ class VQAScorer:
         )
 
 
+# -- InstructBLIP (Q-Former + FlanT5) ---------------------------------------
+
+INSTRUCTBLIP_QUESTION_TEMPLATE = (
+    'Question: Does this figure show "{}"? Please answer yes or no.'
+)
+INSTRUCTBLIP_ANSWER_TEMPLATE = "yes"  # instructblip uses lowercase
+
+
+class InstructBlipVQAScorer:
+    """VQAScore over an InstructBLIP-FlanT5 model
+    (instructblip_model.py:63-139): the question text goes BOTH to the
+    Q-Former (BERT tokenizer) as the instruction and to the T5 encoder; the
+    decoder teacher-forces the answer; score = exp(-mean CE)."""
+
+    def __init__(
+        self,
+        model,  # models.instructblip.InstructBlipT5
+        params,
+        qformer_tokenize: TokenizeFn,
+        t5_tokenize: TokenizeFn,
+        qformer_pad_id: int = 0,
+        t5_pad_id: int = 0,
+        max_txt_len: int = 128,        # lavis blip2_t5_instruct default
+        max_output_txt_len: int = 256,
+        batch_size: int = 8,
+        pad_to_multiple: int = 32,
+    ):
+        self.model = model
+        self.params = params
+        self.qformer_tokenize = qformer_tokenize
+        self.t5_tokenize = t5_tokenize
+        self.qformer_pad_id = qformer_pad_id
+        self.t5_pad_id = t5_pad_id
+        self.max_txt_len = max_txt_len
+        self.max_output_txt_len = max_output_txt_len
+        self.batch_size = batch_size
+        self.pad_to_multiple = pad_to_multiple
+        self.image_size = model.cfg.vision.image_size
+
+        @jax.jit
+        def _scores(params, pixels, q_ids, q_mask, t5_ids, t5_mask, labels,
+                    dec_mask):
+            logits = model.apply(
+                {"params": params}, pixels, q_ids, t5_ids, labels,
+                q_mask, t5_mask, dec_mask,
+            ).astype(jnp.float32)
+            valid = labels != IGNORE_INDEX
+            safe = jnp.where(valid, labels, 0)
+            logz = jax.nn.logsumexp(logits, axis=-1)
+            picked = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+            ce = (logz - picked) * valid
+            mean_ce = ce.sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1)
+            return jnp.exp(-mean_ce)
+
+        self._scores = _scores
+
+    def forward(
+        self,
+        images: Sequence[ImageLike],
+        texts: Sequence[str],
+        question_template: str = INSTRUCTBLIP_QUESTION_TEMPLATE,
+        answer_template: str = INSTRUCTBLIP_ANSWER_TEMPLATE,
+    ) -> np.ndarray:
+        assert len(images) == len(texts)
+        questions = [question_template.format(t) for t in texts]
+        answers = [answer_template.format(t) for t in texts]
+        q_ids = [
+            self.qformer_tokenize(q)[: self.max_txt_len] for q in questions
+        ]
+        t_ids = [self.t5_tokenize(q)[: self.max_txt_len] for q in questions]
+        a_ids = [
+            self.t5_tokenize(a)[: self.max_output_txt_len] for a in answers
+        ]
+        out = np.zeros((len(images),), np.float32)
+        for s in range(0, len(images), self.batch_size):
+            e = s + self.batch_size
+            out[s:e] = self._chunk(
+                q_ids[s:e], t_ids[s:e], a_ids[s:e], images[s:e]
+            )
+        return out
+
+    def _chunk(self, q_ids, t_ids, a_ids, images) -> np.ndarray:
+        n = len(q_ids)
+        m = self.pad_to_multiple
+
+        def pad_batch(rows, pad_value, multiple):
+            width = max(len(r) for r in rows)
+            width = ((width + multiple - 1) // multiple) * multiple
+            ids = np.full((n, width), pad_value, np.int32)
+            mask = np.zeros((n, width), bool)
+            for i, r in enumerate(rows):
+                ids[i, : len(r)] = r
+                mask[i, : len(r)] = True
+            return ids, mask
+
+        q, q_mask = pad_batch(q_ids, self.qformer_pad_id, m)
+        t, t_mask = pad_batch(t_ids, self.t5_pad_id, m)
+        a, dec_mask = pad_batch(a_ids, 0, 8)
+        labels = np.where(dec_mask, a, IGNORE_INDEX)
+        # reference instructblip preprocess: shortest-edge bicubic resize +
+        # center crop + CLIP stats (instructblip_model.py:43-48)
+        pixels = preprocess_batch(list(images), self.image_size, "clip")
+        return np.asarray(self._scores(
+            self.params, jnp.asarray(pixels), jnp.asarray(q),
+            jnp.asarray(q_mask), jnp.asarray(t), jnp.asarray(t_mask),
+            jnp.asarray(labels), jnp.asarray(dec_mask),
+        ))
+
+
 # -- CLIP-FlanT5 (encoder-decoder) ----------------------------------------
 
 
