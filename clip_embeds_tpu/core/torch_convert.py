@@ -267,6 +267,19 @@ def convert_llava_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     }
 
 
+def convert_llava_next_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """HF LlavaNextForConditionalGeneration -> models.llava_next.LlavaNext
+    params: the LLaVA layout plus the learned image_newline embedding."""
+    sd = dict(sd)
+    newline_key = (
+        "image_newline" if "image_newline" in sd else "model.image_newline"
+    )
+    newline = _np(sd.pop(newline_key))
+    params = convert_llava_state_dict(sd)
+    params["image_newline"] = newline
+    return params
+
+
 # -- ModifiedResNet (CLIP RN50 family) ------------------------------------
 
 
