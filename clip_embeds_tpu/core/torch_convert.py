@@ -267,6 +267,53 @@ def convert_llava_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     }
 
 
+def convert_qwen2_vl_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """HF Qwen2VLForConditionalGeneration -> models.qwen2_vl.Qwen2VL params.
+
+    HF layout (older): visual.* + model.* + lm_head; (newer): model.visual.*
+    + model.language_model.* + lm_head. Both handled."""
+    sd = dict(sd)
+    if any(k.startswith("model.visual.") for k in sd):
+        renamed = {}
+        for k, v in sd.items():
+            if k.startswith("model.visual."):
+                renamed["visual." + k[len("model.visual."):]] = v
+            elif k.startswith("model.language_model."):
+                renamed["model." + k[len("model.language_model."):]] = v
+            else:
+                renamed[k] = v
+        sd = renamed
+
+    conv_w = _np(sd["visual.patch_embed.proj.weight"])  # [D, C, tp, p, p]
+    d = conv_w.shape[0]
+    n_v = 0
+    while f"visual.blocks.{n_v}.norm1.weight" in sd:
+        n_v += 1
+    blocks: Dict[str, Any] = {}
+    for i in range(n_v):
+        pre = f"visual.blocks.{i}"
+        blocks[f"blocks_{i}"] = {
+            "norm1": _layernorm(sd, f"{pre}.norm1"),
+            "norm2": _layernorm(sd, f"{pre}.norm2"),
+            "qkv": _linear(sd, f"{pre}.attn.qkv"),
+            "proj": _linear(sd, f"{pre}.attn.proj"),
+            "fc1": _linear(sd, f"{pre}.mlp.fc1"),
+            "fc2": _linear(sd, f"{pre}.mlp.fc2"),
+        }
+    visual = dict(
+        blocks,
+        # conv3d with kernel==stride over processor layout (C, tp, ph, pw)
+        patch_embed={"kernel": conv_w.reshape(d, -1).T},
+        ln_q=_layernorm(sd, "visual.merger.ln_q"),
+        merger_fc1=_linear(sd, "visual.merger.mlp.0"),
+        merger_fc2=_linear(sd, "visual.merger.mlp.2"),
+    )
+    text = convert_llama_state_dict(
+        {k: v for k, v in sd.items() if not k.startswith("visual.")}
+    )
+    return {"visual": visual, "language_model": text}
+
+
 def convert_llava_next_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     """HF LlavaNextForConditionalGeneration -> models.llava_next.LlavaNext
     params: the LLaVA layout plus the learned image_newline embedding."""

@@ -39,6 +39,9 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
     attention_bias: bool = False  # Qwen2-style q/k/v biases
+    # Qwen2-VL multimodal RoPE: per-axis (t, h, w) channel sections summing to
+    # head_dim/2 (modeling_qwen2_vl.py:489-531). None -> standard 1D RoPE.
+    mrope_section: Optional[Tuple[int, ...]] = None
 
     @property
     def head_dim(self) -> int:
@@ -83,6 +86,32 @@ def rope_cos_sin(
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,N,hd/2]
     emb = jnp.concatenate([angles, angles], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
+
+
+def mrope_cos_sin(
+    positions: jax.Array,           # [B, 3, N] (t, h, w) position ids
+    head_dim: int,
+    theta: float,
+    section: Tuple[int, ...],
+) -> Tuple[jax.Array, jax.Array]:
+    """Multimodal RoPE: interleave per-axis rotations along the channel dim
+    (apply_multimodal_rotary_pos_emb, modeling_qwen2_vl.py:489-531 — the
+    [hd] channels split into sections*2 cycling t/h/w)."""
+    import numpy as np
+
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,3,N,hd/2]
+    emb = jnp.concatenate([angles, angles], axis=-1)              # [B,3,N,hd]
+    sel = np.concatenate(
+        [np.full(s, i % 3) for i, s in enumerate(list(section) * 2)]
+    )
+    assert sel.shape[0] == head_dim, (sel.shape, head_dim)
+    onehot = jax.nn.one_hot(jnp.asarray(sel), 3, dtype=jnp.float32)  # [hd, 3]
+    cos = jnp.einsum("bsnd,ds->bnd", jnp.cos(emb), onehot)
+    sin = jnp.einsum("bsnd,ds->bnd", jnp.sin(emb), onehot)
+    return cos, sin
 
 
 def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
@@ -231,7 +260,14 @@ class LlamaModel(nn.Module):
         b, n, _ = inputs_embeds.shape
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(n)[None, :], (b, n))
-        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        if cfg.mrope_section is not None and positions.ndim == 3:
+            cos, sin = mrope_cos_sin(
+                positions, cfg.head_dim, cfg.rope_theta, cfg.mrope_section
+            )
+        else:
+            if positions.ndim == 3:  # mrope-shaped ids on a 1D-RoPE model
+                positions = positions[:, 0]
+            cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
         x = inputs_embeds
         block_cls = LlamaBlock
