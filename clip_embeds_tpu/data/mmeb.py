@@ -83,6 +83,159 @@ def _encode_with_image(
     return tokenizer_image_token(text, tokenize, bos_token_id)
 
 
+PHI_IMAGE_TOKEN = "<|image_1|>"
+QWEN_IMAGE_TOKEN = "<|image_pad|>"
+
+
+class MMEBTrainDataset:
+    """MMEB 20-subset training data (VLM2Vec/src/dataset.py:15-73
+    TrainDataset): subsets concatenate with a per-subset sample cap; items are
+    (qry_text, qry_image, pos_text, pos_image) with the '<|image_1|>' marker
+    rewritten per backbone and backbone-specific image resolutions
+    (llava_next 'high' 1344, llava_1.5/qwen 'low' 336).
+
+    ``subsets`` maps subset name -> sequence of dicts with keys qry /
+    qry_image_path / pos_text / pos_image_path (an HF dataset split works
+    verbatim; with zero egress, pass local json/parquet loads).
+    """
+
+    def __init__(
+        self,
+        subsets: Dict[str, Sequence[Dict]],
+        image_dir: str = "",
+        num_sample_per_subset: Optional[int] = None,
+        model_backbone: str = "llava_1.5",
+    ):
+        self.rows: List[Dict] = []
+        for name in subsets:
+            data = subsets[name]
+            n = len(data)
+            if num_sample_per_subset is not None:
+                n = min(n, num_sample_per_subset)
+            for i in range(n):
+                self.rows.append(data[i])
+        self.image_dir = image_dir
+        self.backbone = model_backbone
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def _rewrite(self, text: str) -> str:
+        if self.backbone in ("llava_next", "llava-1.5", "llava_1.5",
+                             "llava-hf/llava-1.5-7b-hf"):
+            return text.replace(PHI_IMAGE_TOKEN, IMAGE_TOKEN)
+        if self.backbone == "qwen":
+            return text.replace(PHI_IMAGE_TOKEN, QWEN_IMAGE_TOKEN)
+        return text
+
+    def _resolution(self) -> Optional[int]:
+        if self.backbone == "llava_next":
+            return 1344
+        if self.backbone in ("qwen", "llava_1.5", "llava-1.5"):
+            return 336
+        return None
+
+    def get(self, idx: int):
+        """-> (qry_text, qry_image_path|None, pos_text, pos_image_path|None)."""
+        row = self.rows[idx]
+        qry_img = row.get("qry_image_path") or None
+        pos_img = row.get("pos_image_path") or None
+        join = lambda p: os.path.join(self.image_dir, p) if p else None
+        return (
+            self._rewrite(row["qry"]), join(qry_img),
+            self._rewrite(row["pos_text"]), join(pos_img),
+        )
+
+
+def _place_sentinel(
+    ids: List[int], has_image: bool, max_len: int
+) -> List[int]:
+    """Every row needs exactly one sentinel for the static splice; imageless
+    rows carry it appended after their text (masked out downstream)."""
+    ids = ids[: max_len - 1]
+    if has_image:
+        assert IMAGE_TOKEN_INDEX in ids, "image row must contain <image>"
+        return ids
+    assert IMAGE_TOKEN_INDEX not in ids
+    return ids + [IMAGE_TOKEN_INDEX]
+
+
+def mixed_pair_batches(
+    dataset: MMEBTrainDataset,
+    tokenize: TokenizeFn,
+    batch_size: int,
+    bos_token_id: Optional[int] = None,
+    pad_token_id: int = 0,
+    max_len: int = 1024,
+    image_size: int = 336,
+    shuffle: bool = True,
+    seed: int = 0,
+    num_workers: int = 8,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """MMEB batches where any row (query or target) may or may not carry an
+    image — the static-shape replacement for the reference's image_mask
+    collator (src/collator.py:12-85). Yields per side: ids [B, L],
+    mask [B, L], pixels [B, S, S, 3] (zeros when absent), image_valid [B]."""
+    order = np.arange(len(dataset))
+    rng = np.random.default_rng(seed)
+    if shuffle:
+        rng.shuffle(order)
+
+    def encode_side(text: str, image_path: Optional[str]):
+        has_image = image_path is not None
+        if has_image and IMAGE_TOKEN not in text:
+            text = IMAGE_TOKEN + "\n" + text
+        ids = _encode_with_image(text, tokenize, bos_token_id)
+        ids = _place_sentinel(ids, has_image, max_len)
+        pixels = (
+            preprocess_llava(image_path, image_size)
+            if has_image
+            else np.zeros((image_size, image_size, 3), np.float32)
+        )
+        return ids, has_image, pixels
+
+    def prepare(idx: int):
+        qry_text, qry_img, pos_text, pos_img = dataset.get(int(idx))
+        return encode_side(qry_text, qry_img), encode_side(pos_text, pos_img)
+
+    def pack_side(rows):
+        longest = max(len(r[0]) for r in rows)
+        longest = ((longest + 63) // 64) * 64
+        ids = np.full((len(rows), longest), pad_token_id, np.int32)
+        mask = np.zeros((len(rows), longest), bool)
+        for i, (row, has_image, _) in enumerate(rows):
+            ids[i, : len(row)] = row
+            n_real = len(row) - (0 if has_image else 1)
+            mask[i, :n_real] = True
+            if not has_image:
+                # keep the appended sentinel out of the REAL-token mask but
+                # present in ids for the static splice
+                mask[i, len(row) - 1] = False
+        return {
+            "ids": ids,
+            "mask": mask,
+            "pixels": np.stack([r[2] for r in rows]),
+            "image_valid": np.asarray([r[1] for r in rows], bool),
+        }
+
+    with ThreadPoolExecutor(num_workers) as pool:
+        pending: List = []
+        for qry, tgt in pool.map(prepare, order):
+            pending.append((qry, tgt))
+            if len(pending) == batch_size:
+                q = pack_side([p[0] for p in pending])
+                t = pack_side([p[1] for p in pending])
+                yield {
+                    "qry_ids": q["ids"], "qry_mask": q["mask"],
+                    "qry_pixels": q["pixels"],
+                    "qry_image_valid": q["image_valid"],
+                    "tgt_ids": t["ids"], "tgt_mask": t["mask"],
+                    "tgt_pixels": t["pixels"],
+                    "tgt_image_valid": t["image_valid"],
+                }
+                pending = []
+
+
 def pair_batches(
     dataset: CombinedPairDataset,
     tokenize: TokenizeFn,

@@ -178,6 +178,40 @@ class Llava(nn.Module):
         hidden = self.language_model.trunk(embeds, mask)
         return self.language_model.logits(hidden)
 
+    def embed_mixed(
+        self,
+        input_ids: jax.Array,        # [B, L]: every row has ONE sentinel —
+                                     # imageless rows carry it in the pad area
+        pixel_values: jax.Array,     # [B, S, S, 3] (zeros for imageless rows)
+        image_valid: jax.Array,      # bool [B]: row actually has an image
+        attention_mask: jax.Array,   # bool [B, L] over the REAL text tokens
+    ) -> jax.Array:
+        """VLM2Vec mixed image/text batch pooling — the static-shape
+        equivalent of the reference's image_mask row split
+        (src/collator.py:12-85, trainer.py:54-89 split_vlm_inputs): the image
+        block of imageless rows is masked out of attention and RoPE positions
+        are re-derived as cumsum(mask)-1, so their valid tokens see exactly
+        the text-only layout."""
+        image_features = self.encode_images(pixel_values)
+        n_image = image_features.shape[1]
+        embeds = self.merge(input_ids, image_features)
+        _, is_image, text_gather, image_gather = splice_positions(
+            input_ids, n_image
+        )
+        text_mask = jnp.take_along_axis(
+            attention_mask.astype(jnp.int32), text_gather, axis=1
+        )
+        mask = jnp.where(is_image, image_valid[:, None].astype(jnp.int32),
+                         text_mask)
+        positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+        hidden = self.language_model.trunk(
+            embeds, mask.astype(bool), positions
+        )
+        idx = jnp.arange(hidden.shape[1])[None, :]
+        last = jnp.max(jnp.where(mask.astype(bool), idx, -1), axis=1)
+        pooled = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0]
+        return l2_normalize(pooled)
+
     def embed_last_token(
         self,
         input_ids: jax.Array,

@@ -145,3 +145,88 @@ def test_embedding_scorer():
     probs = scorer.pair_score(imgs, ["statement one", "statement two"])
     assert probs.shape == (2, 2)
     np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-5)
+
+
+def test_embed_mixed_matches_split_paths():
+    """Mixed image/text batch == per-row single-path embeddings (the static
+    replacement for the reference's image_mask row split)."""
+    model, params = tiny_llava()
+    rng = np.random.default_rng(1)
+    n_image_tokens = model.cfg.n_image_tokens
+
+    # row 0: image row "[1 2 <image> 3 4]"; row 1: text-only "[1 9 8]"
+    L = 8
+    ids = np.zeros((2, L), np.int32)
+    mask = np.zeros((2, L), bool)
+    ids[0, :5] = [1, 2, -200, 3, 4]
+    mask[0, :5] = True
+    ids[1, :3] = [1, 9, 8]
+    ids[1, 3] = -200  # sentinel parked in the pad area
+    mask[1, :3] = True
+    pixels = np.zeros((2, 32, 32, 3), np.float32)
+    pixels[0] = rng.standard_normal((32, 32, 3))
+    image_valid = np.array([True, False])
+
+    mixed = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(pixels),
+        jnp.asarray(image_valid), jnp.asarray(mask), method="embed_mixed",
+    ))
+
+    # oracle row 0: plain image path on the single row
+    single0 = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(ids[:1]), jnp.asarray(pixels[:1]),
+        jnp.asarray(mask[:1]), method="embed_last_token",
+    ))[0]
+    # oracle row 1: text-only path on just the real ids
+    single1 = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(ids[1:2, :3]), None,
+        jnp.asarray(mask[1:2, :3]), method="embed_last_token",
+    ))[0]
+    np.testing.assert_allclose(mixed[0], single0, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(mixed[1], single1, rtol=2e-5, atol=2e-5)
+
+
+def test_mmeb_train_dataset_and_mixed_batches(tmp_path):
+    from clip_embeds_tpu.data.mmeb import MMEBTrainDataset, mixed_pair_batches
+
+    # two subsets; one item has a query image, others are text-only
+    img_path = os.path.join(tmp_path, "im.png")
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (40, 40, 3)).astype(np.uint8)
+    ).save(img_path)
+    subsets = {
+        "A": [
+            {"qry": "<|image_1|> what is this?", "qry_image_path": "im.png",
+             "pos_text": "a dog", "pos_image_path": ""},
+            {"qry": "find the answer", "qry_image_path": "",
+             "pos_text": "<|image_1|> the image", "pos_image_path": "im.png"},
+        ],
+        "B": [
+            {"qry": "text query", "qry_image_path": "",
+             "pos_text": "text target", "pos_image_path": ""},
+            {"qry": "capped out", "qry_image_path": "",
+             "pos_text": "never seen", "pos_image_path": ""},
+        ],
+    }
+    ds = MMEBTrainDataset(
+        subsets, image_dir=str(tmp_path), num_sample_per_subset=1,
+        model_backbone="llava_1.5",
+    )
+    assert len(ds) == 2  # per-subset cap applied
+    qry, qimg, pos, pimg = ds.get(0)
+    assert qry.startswith("<image>")  # marker rewritten for llava
+    assert qimg and qimg.endswith("im.png") and pimg is None
+
+    batches = list(mixed_pair_batches(
+        ds, _toy_tokenize, batch_size=2, image_size=32, shuffle=False,
+    ))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["qry_image_valid"].tolist() == [True, False]
+    assert b["tgt_image_valid"].tolist() == [False, False]
+    # every row has exactly one sentinel (static splice invariant)
+    assert ((b["qry_ids"] == -200).sum(axis=1) == 1).all()
+    assert ((b["tgt_ids"] == -200).sum(axis=1) == 1).all()
+    # imageless rows: sentinel excluded from the real-token mask
+    srow = np.argmax(b["qry_ids"][1] == -200)
+    assert not b["qry_mask"][1, srow]
