@@ -305,6 +305,19 @@ class CoCa(nn.Module):
         latent, _ = self.text(text_ids)
         return l2_normalize(latent) if normalize else latent
 
+    def image_tokens(self, images: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """(latent, pooled image tokens) — encode once for generation."""
+        return self.visual(images)
+
+    def caption_logits(
+        self, image_embs: jax.Array, text_ids: jax.Array
+    ) -> jax.Array:
+        """Decoder logits [B, L, vocab] over a fixed text buffer (causal, so
+        positions past the current length are ignorable — the generate loop
+        reads only logits[:, cur_len-1])."""
+        _, token_embs = self.text(text_ids)
+        return self.text_decoder(image_embs, token_embs)
+
     def __call__(
         self, images: jax.Array, text_ids: jax.Array, output_labels: bool = True
     ) -> Dict[str, jax.Array]:

@@ -120,3 +120,136 @@ def test_llava_greedy_generate():
         model, params, ids, pixels + 1.0, max_new_tokens=6, eos_token_id=2
     )
     assert not np.array_equal(np.asarray(out), np.asarray(out3))
+
+
+# -- CoCa generation ---------------------------------------------------------
+
+
+def test_coca_topk1_generation_matches_reference():
+    """top_k=1 sampling is deterministic -> exact token parity vs a greedy
+    decode over the reference torch CoCa forward (the reference's own
+    CoCa.generate cannot run here: the installed transformers dropped
+    BeamSearchScorer so its import guard trips — coca_model.py:308)."""
+    import torch
+
+    from tests.test_coca import ref_coca, _jax_model
+    from clip_embeds_tpu.core.torch_convert import convert_coca_state_dict
+    from clip_embeds_tpu.models.generate import coca_sample_generate
+
+    ref = ref_coca.__wrapped__()
+    model = _jax_model()
+    params = convert_coca_state_dict(ref.state_dict())
+
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    seq_len = 12
+    min_seq_len = 5
+    with torch.no_grad():
+        timg = torch.from_numpy(images.transpose(0, 3, 1, 2))
+        out = torch.full((2, 1), 126, dtype=torch.long)
+        done = torch.zeros(2, dtype=torch.bool)
+        while out.shape[1] < seq_len:
+            logits = ref(timg, out, output_labels=False)["logits"][:, -1]
+            if out.shape[1] < min_seq_len:
+                logits[:, 127] = -torch.inf
+            nxt = logits.argmax(-1)
+            if out.shape[1] == seq_len - 1:
+                nxt = torch.full_like(nxt, 127)
+            nxt = torch.where(done, torch.zeros_like(nxt), nxt)
+            done = done | (nxt == 127)
+            out = torch.cat([out, nxt[:, None]], dim=1)
+        ref_out = out.numpy()
+
+    got = np.asarray(coca_sample_generate(
+        model, params, jnp.asarray(images), jax.random.PRNGKey(0),
+        seq_len=seq_len, generation_type="top_k", top_k=1,
+        sot_token_id=126, eos_token_id=127, pad_token_id=0, min_seq_len=5,
+    ))
+    np.testing.assert_array_equal(got, ref_out)
+
+
+def test_coca_topp_generation_valid():
+    """top_p sampling: valid tokens, sot prefix, eos termination, and
+    determinism under a fixed key."""
+    from tests.test_coca import ref_coca, _jax_model
+    from clip_embeds_tpu.core.torch_convert import convert_coca_state_dict
+    from clip_embeds_tpu.models.generate import coca_sample_generate
+
+    ref = ref_coca.__wrapped__()
+    model = _jax_model()
+    params = convert_coca_state_dict(ref.state_dict())
+    rng = np.random.default_rng(1)
+    images = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    out1 = np.asarray(coca_sample_generate(
+        model, params, jnp.asarray(images), jax.random.PRNGKey(7),
+        seq_len=10, generation_type="top_p", top_p=0.9,
+        sot_token_id=126, eos_token_id=127, pad_token_id=0, min_seq_len=3,
+    ))
+    out2 = np.asarray(coca_sample_generate(
+        model, params, jnp.asarray(images), jax.random.PRNGKey(7),
+        seq_len=10, generation_type="top_p", top_p=0.9,
+        sot_token_id=126, eos_token_id=127, pad_token_id=0, min_seq_len=3,
+    ))
+    np.testing.assert_array_equal(out1, out2)
+    assert (out1[:, 0] == 126).all()
+    assert out1.shape == (2, 10)
+    assert ((out1 >= 0) & (out1 < 128)).all()
+    # min length: no eos in the first min_seq_len generated positions
+    assert not (out1[:, 1:3] == 127).any()
+
+
+def test_coca_beam_generation():
+    """Beam search: deterministic, well-formed, and the chosen beam's
+    sequence log-prob is >= the greedy sequence's (beam must not lose to
+    greedy under its own objective when both terminate identically)."""
+    import torch
+
+    from tests.test_coca import ref_coca, _jax_model
+    from clip_embeds_tpu.core.torch_convert import convert_coca_state_dict
+    from clip_embeds_tpu.models.generate import (
+        coca_beam_generate,
+        coca_sample_generate,
+    )
+
+    ref = ref_coca.__wrapped__()
+    model = _jax_model()
+    params = convert_coca_state_dict(ref.state_dict())
+    rng = np.random.default_rng(2)
+    images = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    seq_len = 10
+
+    beam = np.asarray(coca_beam_generate(
+        model, params, jnp.asarray(images), seq_len=seq_len, num_beams=4,
+        sot_token_id=126, eos_token_id=127, pad_token_id=0, min_seq_len=3,
+    ))
+    beam2 = np.asarray(coca_beam_generate(
+        model, params, jnp.asarray(images), seq_len=seq_len, num_beams=4,
+        sot_token_id=126, eos_token_id=127, pad_token_id=0, min_seq_len=3,
+    ))
+    np.testing.assert_array_equal(beam, beam2)
+    assert (beam[:, 0] == 126).all()
+
+    greedy = np.asarray(coca_sample_generate(
+        model, params, jnp.asarray(images), jax.random.PRNGKey(0),
+        seq_len=seq_len, generation_type="top_k", top_k=1,
+        sot_token_id=126, eos_token_id=127, pad_token_id=0, min_seq_len=3,
+    ))
+
+    def seq_logprob(tokens):
+        logits = model.apply(
+            {"params": params},
+            *model.apply({"params": params}, jnp.asarray(images),
+                         method="image_tokens")[1:],
+            jnp.asarray(tokens), method="caption_logits",
+        )
+        logp = np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32), -1))
+        total = np.zeros(tokens.shape[0])
+        for b in range(tokens.shape[0]):
+            for t in range(1, tokens.shape[1]):
+                tok = tokens[b, t]
+                total[b] += logp[b, t - 1, tok]
+                if tok == 127:
+                    break
+        return total
+
+    assert (seq_logprob(beam) >= seq_logprob(greedy) - 1e-4).all()
