@@ -266,3 +266,242 @@ class GenAIBench(BenchmarkDataset):
 
 
 BENCHMARKS["genai_bench"] = GenAIBench
+
+
+class Pickapic(BenchmarkDataset):
+    """Pick-a-Pic v1 preference subset (t2v dataset.py:1159-1271): 100
+    curated (image_0, image_1, caption) triples; metric = preference accuracy
+    (label_0 == 1 means image_0 preferred)."""
+
+    # the paper's curated subset (dataset.py:1184-1190)
+    SELECTED_IDXS = [
+        1, 9, 385, 14, 138, 5, 31, 33, 39, 352, 21, 417, 399, 17, 82, 412, 78,
+        53, 54, 59, 60, 308, 76, 142, 98, 259, 317, 110, 113, 118, 112, 119,
+        144, 148, 149, 153, 159, 162, 172, 111, 124, 196, 197, 220, 35, 141,
+        252, 475, 368, 214, 150, 43, 221, 163, 228, 236, 57, 326, 257, 266,
+        268, 62, 274, 277, 278, 281, 105, 285, 286, 301, 419, 91, 312, 316,
+        318, 319, 334, 335, 339, 340, 347, 350, 367, 374, 375, 382, 376, 387,
+        345, 405, 411, 478, 441, 444, 99, 384, 472, 479, 490, 493,
+    ]
+
+    def _load(self):
+        with open(os.path.join(self.root_dir, "test_captions.json")) as fh:
+            all_data = json.load(fh)
+        self.rows = []
+        for sel in self.SELECTED_IDXS:
+            if sel >= len(all_data):
+                continue
+            self.rows.append(all_data[sel])
+        return [{
+            "images": [
+                os.path.join(self.root_dir, r["image_0"]),
+                os.path.join(self.root_dir, r["image_1"]),
+            ],
+            "texts": [r["caption"]],
+        } for r in self.rows]
+
+    def evaluate_scores(self, scores: np.ndarray):
+        scores = np.asarray(scores)          # [N, 2, 1]
+        correct = []
+        for r, s in zip(self.rows, scores):
+            label = "0" if r["label_0"] == 1 else "1"
+            pred = "0" if s[0, 0] >= s[1, 0] else "1"
+            correct.append(pred == label)
+        return {"accuracy": float(np.mean(correct))}
+
+
+class Flickr30KNeg(BenchmarkDataset):
+    """Flickr30K left/right/up/down hard negatives (t2v dataset.py:1997-2049
+    Flickr30K_P): (image, neg_image) x (caption, neg_caption); metric = text
+    accuracy (both directions) + individual accuracy (half-credit per
+    direction, get_flickr30kp_acc :255-275). Root: metadata.tsv with columns
+    images/neg_images/captions/neg_captions."""
+
+    def _load(self):
+        import csv
+
+        rows = []
+        with open(os.path.join(self.root_dir, "metadata.tsv")) as fh:
+            for row in csv.DictReader(fh, delimiter="\t"):
+                rows.append(row)
+        return [{
+            "images": [
+                os.path.join(self.root_dir, r["images"]),
+                os.path.join(self.root_dir, r["neg_images"]),
+            ],
+            "texts": [r["captions"], r["neg_captions"]],
+        } for r in rows]
+
+    def evaluate_scores(self, scores: np.ndarray):
+        s = winoground_scores(np.asarray(scores))
+        text = [r["c0_i0"] > r["c1_i0"] and r["c1_i1"] > r["c0_i1"] for r in s]
+        indiv = [
+            0.5 * (r["c0_i0"] > r["c1_i0"]) + 0.5 * (r["c1_i1"] > r["c0_i1"])
+            for r in s
+        ]
+        return {"text": float(np.mean(text)),
+                "individual": float(np.mean(indiv))}
+
+
+class TIFA160(BenchmarkDataset):
+    """TIFA-160 with DSG human Likert ratings (t2v dataset.py:464-604):
+    one generated image per (prompt, model); metric = human-correlation
+    bundle over per-item human averages. Root: metadata.json
+    {key: {text, image_path, human_avg}}."""
+
+    def _load(self):
+        with open(os.path.join(self.root_dir, "metadata.json")) as fh:
+            self.metadata = json.load(fh)
+        self.keys = sorted(self.metadata)
+        return [{
+            "images": [os.path.join(self.root_dir, "images",
+                                    self.metadata[k]["image_path"])],
+            "texts": [self.metadata[k]["text"]],
+        } for k in self.keys]
+
+    def evaluate_scores(self, scores: np.ndarray):
+        from .tau import correlation_metrics
+
+        ours = np.asarray(scores).reshape(len(self.samples))
+        human = [float(self.metadata[k]["human_avg"]) for k in self.keys]
+        keep = ~np.isnan(ours)
+        return correlation_metrics(
+            list(np.asarray(human)[keep]), list(ours[keep])
+        )
+
+
+class Flickr8KCF(BenchmarkDataset):
+    """Flickr8K-CrowdFlower caption-quality judgements (t2v dataset.py:
+    607-696): one sample per (image, candidate-caption) human judgement;
+    metric = correlation bundle with pairwise tie-optimization sampled at 10%
+    (:688). Root: crowdflower_flickr8k.json in the reference's layout."""
+
+    def _load(self):
+        with open(os.path.join(
+            self.root_dir, "crowdflower_flickr8k.json"
+        )) as fh:
+            dataset = json.load(fh)
+        self.human_scores: List[float] = []
+        samples = []
+        for v in dataset.values():
+            for judgement in v["human_judgement"]:
+                samples.append({
+                    "images": [os.path.join(self.root_dir, v["image_path"])],
+                    "texts": [
+                        " ".join(judgement["caption"].split())
+                        .strip(".").strip(" ")
+                    ],
+                })
+                self.human_scores.append(float(judgement["rating"]))
+        return samples
+
+    def evaluate_scores(self, scores: np.ndarray):
+        from .tau import correlation_metrics
+
+        ours = np.asarray(scores).reshape(len(self.samples))
+        keep = ~np.isnan(ours)
+        human = np.asarray(self.human_scores)[keep]
+        return correlation_metrics(
+            list(human), list(ours[keep]), sample_rate=0.1
+        )
+
+
+class FrameAveragedCorrelation(BenchmarkDataset):
+    """Shared shape for the video/3D alignment sets (T2VScore dataset.py:
+    774-980, GenAIBench_Video :1441-1627, StanfordT23D :983-1157): each
+    sample is F frames/views x 1 prompt; our score = mean over frames;
+    metric = correlation bundle vs mean human alignment. Root:
+    metadata.json [{frames: [...], prompt, human_alignment: [...]}]."""
+
+    def _load(self):
+        with open(os.path.join(self.root_dir, "metadata.json")) as fh:
+            self.videos = json.load(fh)
+        return [{
+            "images": [os.path.join(self.root_dir, f) for f in v["frames"]],
+            "texts": [str(v["prompt"])],
+        } for v in self.videos]
+
+    def evaluate_scores(self, scores: np.ndarray):
+        from .tau import correlation_metrics
+
+        scores = np.asarray(scores)          # [N, F, 1]
+        ours = scores.mean(axis=1).reshape(len(self.videos))
+        human = [float(np.mean(v["human_alignment"])) for v in self.videos]
+        return {"alignment": correlation_metrics(human, list(ours))}
+
+
+class T2VScore(FrameAveragedCorrelation):
+    """EvalCrafter text-to-video alignment (dataset.py:774-980)."""
+
+
+class GenAIBenchVideo(FrameAveragedCorrelation):
+    """GenAI-Bench video alignment (dataset.py:1441-1627)."""
+
+
+class StanfordT23D(FrameAveragedCorrelation):
+    """Stanford text-to-3D alignment over rendered views (dataset.py:983-1157)."""
+
+
+class GenAIBenchRanking(BenchmarkDataset):
+    """GenAI-Bench image ranking: 9 images per prompt from one generator
+    (dataset.py:1631-1781). Metrics: correlation bundle over all images plus
+    per-prompt argmax-vs-argmin ranking accuracy. Root: human_rating.json
+    (reference layout) + images under <gen_model>/."""
+
+    def __init__(self, root_dir: str, gen_model: str = "DALLE_3"):
+        self.gen_model = gen_model
+        super().__init__(root_dir)
+
+    def _load(self):
+        with open(os.path.join(self.root_dir, "human_rating.json")) as fh:
+            self.dataset = json.load(fh)
+        self.rows = []
+        for prompt_idx in self.dataset:
+            for img_idx in range(1, 10):
+                self.rows.append({
+                    "prompt_idx": prompt_idx,
+                    "prompt": self.dataset[prompt_idx]["prompt"],
+                    "image": os.path.join(
+                        self.root_dir, self.gen_model,
+                        f"{int(prompt_idx):05d}_{img_idx:02d}.jpeg",
+                    ),
+                    "human_score": float(np.mean(
+                        self.dataset[prompt_idx]["models"][self.gen_model][
+                            str(img_idx)
+                        ]
+                    )),
+                })
+        return [{"images": [r["image"]], "texts": [r["prompt"]]}
+                for r in self.rows]
+
+    def evaluate_scores(self, scores: np.ndarray):
+        from .tau import kendall_variants, pearson
+
+        ours = np.asarray(scores).reshape(len(self.rows))
+        human = np.asarray([r["human_score"] for r in self.rows])
+        n_prompts = len(self.rows) // 9
+        ours_p = ours.reshape(n_prompts, 9)
+        human_p = human.reshape(n_prompts, 9)
+        amax = human_p.argmax(axis=1)
+        amin = human_p.argmin(axis=1)
+        rows = np.arange(n_prompts)
+        ranking_acc = float(
+            (ours_p[rows, amax] > ours_p[rows, amin]).mean()
+        )
+        return {
+            "pearson": pearson(list(human), list(ours)),
+            "kendall_b": kendall_variants(list(human), list(ours), "b"),
+            "ranking_accuracy": ranking_acc,
+        }
+
+
+BENCHMARKS.update({
+    "pickapic_v1": Pickapic,
+    "flickr30k_p": Flickr30KNeg,
+    "tifa160_dsg": TIFA160,
+    "flickr8k_cf": Flickr8KCF,
+    "t2vscore": T2VScore,
+    "genai_bench_video": GenAIBenchVideo,
+    "stanford_t23d": StanfordT23D,
+    "genai_bench_ranking": GenAIBenchRanking,
+})

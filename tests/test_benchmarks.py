@@ -204,3 +204,120 @@ def test_genai_bench(tmp_path):
     assert m["alignment"]["pairwise_acc"] == 1.0
     per_skill = ds.evaluate_scores_per_skill(tensor)
     assert set(per_skill) == {"basic", "advanced"}
+
+
+def _img_name(tmp_path, name):
+    """Write a tiny image under tmp_path, return its RELATIVE name."""
+    _img(tmp_path, name)
+    return name
+
+
+def test_pickapic(tmp_path):
+    import json as _json
+
+    from clip_embeds_tpu.evals.benchmarks import Pickapic
+
+    n = max(Pickapic.SELECTED_IDXS) + 1
+    img = _img_name(tmp_path, "i.png")
+    rows = [{"id": i, "caption": f"cap {i}", "label_0": i % 2,
+             "label_1": 1 - i % 2, "image_0": img, "image_1": img}
+            for i in range(n)]
+    (tmp_path / "test_captions.json").write_text(_json.dumps(rows))
+    ds = Pickapic(str(tmp_path))
+    assert len(ds) == 100
+    # score image_0 higher always -> correct exactly when label_0 == 1
+    scores = np.zeros((len(ds), 2, 1), np.float32)
+    scores[:, 0, 0] = 1.0
+    m = ds.evaluate_scores(scores)
+    expect = np.mean([r["label_0"] == 1
+                      for r in (rows[i] for i in Pickapic.SELECTED_IDXS)])
+    assert abs(m["accuracy"] - expect) < 1e-9
+
+
+def test_flickr30k_p(tmp_path):
+    from clip_embeds_tpu.evals.benchmarks import Flickr30KNeg
+
+    img = _img_name(tmp_path, "a.png")
+    lines = ["images\tneg_images\tcaptions\tneg_captions"]
+    for i in range(4):
+        lines.append(f"{img}\t{img}\tleft {i}\tright {i}")
+    (tmp_path / "metadata.tsv").write_text("\n".join(lines))
+    ds = Flickr30KNeg(str(tmp_path))
+    assert len(ds) == 4
+    # c0 wins on i0 but c1 loses on i1 -> individual 0.5, text 0
+    scores = np.zeros((4, 2, 2), np.float32)
+    scores[:, 0, 0] = 2.0  # c0_i0
+    scores[:, 0, 1] = 1.0  # c1_i0
+    scores[:, 1, 0] = 2.0  # c0_i1
+    scores[:, 1, 1] = 1.0  # c1_i1
+    m = ds.evaluate_scores(scores)
+    assert m["text"] == 0.0 and m["individual"] == 0.5
+
+
+def test_tifa_and_flickr8k_cf(tmp_path):
+    import json as _json
+
+    from clip_embeds_tpu.evals.benchmarks import TIFA160, Flickr8KCF
+
+    (tmp_path / "images").mkdir()
+    img = _img_name(tmp_path / "images", "x.png")
+    meta = {f"k{i}": {"text": f"t {i}", "image_path": img,
+                      "human_avg": 1.0 + i}
+            for i in range(6)}
+    (tmp_path / "metadata.json").write_text(_json.dumps(meta))
+    ds = TIFA160(str(tmp_path))
+    scores = (1.0 + np.arange(6)).reshape(6, 1, 1)
+    m = ds.evaluate_scores(scores)  # perfectly correlated
+    assert abs(m["pearson"] - 1.0) < 1e-9
+    assert m["pairwise_acc"] == 1.0
+
+    cf = {
+        "im1": {"image_path": img if False else "images/x.png",
+                "ground_truth": ["a"],
+                "human_judgement": [
+                    {"caption": "good one", "rating": 3.0},
+                    {"caption": "bad one", "rating": 1.0},
+                ]},
+        "im2": {"image_path": "images/x.png", "ground_truth": ["b"],
+                "human_judgement": [{"caption": "mid", "rating": 2.0}]},
+    }
+    (tmp_path / "crowdflower_flickr8k.json").write_text(_json.dumps(cf))
+    ds2 = Flickr8KCF(str(tmp_path))
+    assert len(ds2) == 3
+    m2 = ds2.evaluate_scores(np.asarray([3.0, 1.0, 2.0]).reshape(3, 1, 1))
+    assert abs(m2["pearson"] - 1.0) < 1e-9
+
+
+def test_frame_averaged_and_ranking(tmp_path):
+    import json as _json
+
+    from clip_embeds_tpu.evals.benchmarks import (
+        GenAIBenchRanking,
+        T2VScore,
+    )
+
+    img = _img_name(tmp_path, "f.png")
+    videos = [{"frames": [img, img], "prompt": f"p {i}",
+               "human_alignment": [1 + i, 1 + i]} for i in range(5)]
+    (tmp_path / "metadata.json").write_text(_json.dumps(videos))
+    ds = T2VScore(str(tmp_path))
+    assert len(ds) == 5
+    scores = np.stack([np.full((2, 1), 1.0 + i) for i in range(5)])
+    m = ds.evaluate_scores(scores)
+    assert abs(m["alignment"]["pearson"] - 1.0) < 1e-9
+
+    # ranking: 2 prompts x 9 images
+    rating = {
+        str(p): {"id": str(p), "prompt": f"pr {p}", "models": {
+            "DALLE_3": {str(i): [float(i)] for i in range(1, 10)}
+        }} for p in range(2)
+    }
+    root = tmp_path / "rank"
+    (root / "DALLE_3").mkdir(parents=True)
+    (root / "human_rating.json").write_text(_json.dumps(rating))
+    ds2 = GenAIBenchRanking(str(root))
+    assert len(ds2) == 18
+    ours = np.tile(np.arange(1, 10, dtype=np.float32), 2).reshape(18, 1, 1)
+    m2 = ds2.evaluate_scores(ours)
+    assert m2["ranking_accuracy"] == 1.0
+    assert abs(m2["pearson"] - 1.0) < 1e-9
