@@ -219,3 +219,204 @@ class BPETokenizer:
 @functools.lru_cache()
 def get_tokenizer(context_length: int = DEFAULT_CONTEXT_LENGTH) -> BPETokenizer:
     return BPETokenizer(context_length=context_length)
+
+
+# -- canonicalization + HF/SigLIP wrappers -----------------------------------
+
+
+def canonicalize_text(
+    text: str,
+    *,
+    keep_punctuation_exact_string: Optional[str] = None,
+) -> str:
+    """big_vision prompt canonicalization (reference tokenizer.py:104-131):
+    lowercase, strip punctuation, collapse whitespace; '_' becomes space."""
+    import string as _string
+
+    trans = str.maketrans("", "", _string.punctuation)
+    text = text.replace("_", " ")
+    if keep_punctuation_exact_string:
+        text = keep_punctuation_exact_string.join(
+            part.translate(trans)
+            for part in text.split(keep_punctuation_exact_string)
+        )
+    else:
+        text = text.translate(trans)
+    text = text.lower()
+    text = " ".join(text.split())
+    return text.strip()
+
+
+def _clean_canonicalize(text: str) -> str:
+    return canonicalize_text(basic_clean(text))
+
+
+def get_clean_fn(kind: str):
+    """reference tokenizer.py:93-101."""
+    if kind == "canonicalize":
+        return _clean_canonicalize
+    if kind == "lower":
+        return _clean_lower
+    if kind == "whitespace":
+        return _clean_whitespace
+    raise ValueError(f"Invalid clean function ({kind})")
+
+
+class HFTokenizer:
+    """HuggingFace tokenizer wrapper (reference tokenizer.py:403-462):
+    clean -> batch encode -> pad/truncate to context length; optional
+    sep-token stripping. Returns int32 numpy [B, context_length]."""
+
+    def __init__(
+        self,
+        tokenizer_name: str,
+        context_length: Optional[int] = DEFAULT_CONTEXT_LENGTH,
+        clean: str = "whitespace",
+        strip_sep_token: bool = False,
+        cache_dir: Optional[str] = None,
+        **kwargs,
+    ):
+        from transformers import AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            tokenizer_name, cache_dir=cache_dir, **kwargs
+        )
+        self.context_length = context_length
+        self.clean_fn = get_clean_fn(clean)
+        self.strip_sep_token = strip_sep_token
+
+    def __call__(self, texts, context_length: Optional[int] = None):
+        import numpy as np
+
+        if isinstance(texts, str):
+            texts = [texts]
+        context_length = context_length or self.context_length
+        assert context_length, "set a context length"
+        texts = [self.clean_fn(t) for t in texts]
+        ids = self.tokenizer.batch_encode_plus(
+            texts, return_tensors="np", max_length=context_length,
+            padding="max_length", truncation=True,
+        ).input_ids.astype(np.int32)
+        if self.strip_sep_token:
+            ids = np.where(
+                ids == self.tokenizer.sep_token_id, np.zeros_like(ids), ids
+            )
+        return ids
+
+
+class SigLipTokenizer:
+    """SigLIP sentencepiece tokenizer wrapper (reference tokenizer.py:464-528):
+    canonicalize(basic_clean(text)) -> T5/Gemma sentencepiece encode, pad to
+    64. Requires the ``sentencepiece`` package (absent in this image — the
+    constructor raises ImportError with a clear message; the cleaning
+    functions above are the testable open-coded part)."""
+
+    def __init__(self, tokenizer_name: str, context_length: Optional[int] = 64):
+        try:
+            import sentencepiece  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "SigLipTokenizer needs the 'sentencepiece' package"
+            ) from e
+        from functools import partial
+
+        if "gemma" in tokenizer_name:
+            from transformers import GemmaTokenizerFast
+
+            tokenizer_cls = partial(
+                GemmaTokenizerFast, padding_side="right",
+                add_bos_token=False, add_eos_token=True,
+            )
+        else:
+            from transformers import T5TokenizerFast
+
+            tokenizer_cls = partial(T5TokenizerFast, extra_ids=0)
+        self.tokenizer = tokenizer_cls(tokenizer_name, legacy=False)
+        self.tokenizer.pad_token_id = 0 if "gemma" in tokenizer_name else 1
+        self.tokenizer.eos_token_id = 1
+        self.context_length = context_length
+
+    def __call__(self, texts, context_length: Optional[int] = None):
+        import numpy as np
+
+        if isinstance(texts, str):
+            texts = [texts]
+        context_length = context_length or self.context_length
+        texts = [canonicalize_text(basic_clean(t)) for t in texts]
+        return self.tokenizer(
+            texts, return_tensors="np", max_length=context_length,
+            padding="max_length", truncation=True,
+        ).input_ids.astype(np.int32)
+
+
+# -- context-length reduction strategies (reference tokenizer.py:280-400) ----
+
+
+def random_mask_tokenize(
+    texts,
+    tokenizer: "BPETokenizer",
+    context_length: Optional[int] = None,
+    shuffle: bool = False,
+    rng=None,
+):
+    """Randomly drop tokens to fit (keep order unless shuffle)."""
+    import numpy as np
+
+    rng = rng or np.random.default_rng()
+    if isinstance(texts, str):
+        texts = [texts]
+    context_length = context_length or tokenizer.context_length
+    sot, eot = tokenizer.sot_token_id, tokenizer.eot_token_id
+    result = np.zeros((len(texts), context_length), np.int32)
+    for i, text in enumerate(texts):
+        tokens = tokenizer.encode(text)
+        if len(tokens) > context_length - 2:
+            keep = context_length - 2
+            indices = rng.permutation(len(tokens))[:keep]
+            if not shuffle:
+                indices = np.sort(indices)
+            tokens = [tokens[j] for j in indices]
+        n = len(tokens)
+        result[i, 0] = sot
+        result[i, 1 : n + 1] = tokens
+        result[i, n + 1] = eot
+    return result
+
+
+def simple_mask_tokenize(
+    texts,
+    tokenizer: "BPETokenizer",
+    context_length: Optional[int] = None,
+    rng=None,
+):
+    """Keep a random contiguous block [start : start+keep]."""
+    import numpy as np
+
+    rng = rng or np.random.default_rng()
+    if isinstance(texts, str):
+        texts = [texts]
+    context_length = context_length or tokenizer.context_length
+    sot, eot = tokenizer.sot_token_id, tokenizer.eot_token_id
+    result = np.zeros((len(texts), context_length), np.int32)
+    for i, text in enumerate(texts):
+        tokens = tokenizer.encode(text)
+        if len(tokens) > context_length - 2:
+            keep = context_length - 2
+            start = int(rng.integers(0, len(tokens) - keep + 1))
+            tokens = tokens[start : start + keep]
+        row = [sot] + tokens + [eot]
+        result[i, : len(row)] = row
+    return result
+
+
+def get_reduction_mask_fn(kind: str):
+    """reference tokenizer.py:390-400 ('syntax' needs spacy; gate)."""
+    from functools import partial
+
+    if kind == "simple":
+        return simple_mask_tokenize
+    if kind == "random":
+        return random_mask_tokenize
+    if kind == "shuffle":
+        return partial(random_mask_tokenize, shuffle=True)
+    raise ValueError(f"unsupported reduction mask: {kind}")

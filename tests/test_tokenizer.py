@@ -92,3 +92,101 @@ def test_custom_context_length():
     tok = BPETokenizer(context_length=32)
     out = tok(["a photo of a cat"])
     assert out.shape == (1, 32)
+
+
+# -- cleaning / wrappers / reduction masks ------------------------------------
+
+
+def test_canonicalize_matches_reference():
+    import importlib.machinery
+    import sys
+    import types
+
+    # stub ftfy like the reference import path expects
+    if "ftfy" not in sys.modules:
+        stub = types.ModuleType("ftfy")
+        stub.fix_text = lambda t: t
+        stub.__spec__ = importlib.machinery.ModuleSpec("ftfy", None)
+        sys.modules["ftfy"] = stub
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_tok", "/root/reference/open_clip/src/open_clip/tokenizer.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from clip_embeds_tpu.text.tokenizer import canonicalize_text, get_clean_fn
+
+    cases = [
+        "Hello_World! It's  GREAT.",
+        "a{b}c {kept} d", "under_score and CAPS...", "  spaces\teverywhere ",
+    ]
+    for c in cases:
+        assert canonicalize_text(c) == ref.canonicalize_text(c)
+    assert canonicalize_text(
+        "a {} b {} c!", keep_punctuation_exact_string="{}"
+    ) == ref.canonicalize_text("a {} b {} c!", keep_punctuation_exact_string="{}")
+    for kind in ("canonicalize", "lower", "whitespace"):
+        mine, theirs = get_clean_fn(kind), ref.get_clean_fn(kind)
+        for c in cases:
+            assert mine(c) == theirs(c)
+
+
+def test_hf_tokenizer_wrapper(tmp_path):
+    from transformers import BertTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "hello", "world", "a", "b"]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizer(str(tmp_path / "vocab.txt")).save_pretrained(str(tmp_path))
+
+    from clip_embeds_tpu.text.tokenizer import HFTokenizer
+
+    tok = HFTokenizer(str(tmp_path), context_length=8)
+    ids = tok(["Hello  WORLD", "a b"])
+    assert ids.shape == (2, 8) and ids.dtype == np.int32
+    # bert lowercases; wrapper collapsed the double space first
+    assert list(ids[0][:4]) == [2, 4, 5, 3]  # [CLS] hello world [SEP]
+
+    tok2 = HFTokenizer(str(tmp_path), context_length=8, strip_sep_token=True)
+    ids2 = tok2("hello world")
+    assert 3 not in ids2  # sep stripped
+
+
+def test_reduction_mask_tokenizers():
+    from clip_embeds_tpu.text.tokenizer import (
+        BPETokenizer,
+        get_reduction_mask_fn,
+        simple_mask_tokenize,
+    )
+
+    tok = BPETokenizer(context_length=10)
+    long_text = " ".join(["token"] * 40)
+    rng = np.random.default_rng(0)
+    out = get_reduction_mask_fn("random")(
+        [long_text, "short"], tok, context_length=10, rng=rng
+    )
+    assert out.shape == (2, 10)
+    assert out[0, 0] == tok.sot_token_id and tok.eot_token_id in out[0]
+    # short text unharmed: decode row 1 contents
+    assert out[1, 0] == tok.sot_token_id
+
+    out2 = simple_mask_tokenize(
+        [long_text], tok, context_length=10, rng=np.random.default_rng(1)
+    )
+    assert out2.shape == (1, 10)
+    assert (out2[0] != 0).sum() == 10  # full block kept
+
+    shuf = get_reduction_mask_fn("shuffle")(
+        [long_text], tok, context_length=10, rng=np.random.default_rng(2)
+    )
+    assert shuf.shape == (1, 10)
+
+
+def test_siglip_tokenizer_gated():
+    import pytest as _pytest
+
+    from clip_embeds_tpu.text.tokenizer import SigLipTokenizer
+
+    with _pytest.raises(ImportError, match="sentencepiece"):
+        SigLipTokenizer("c4-en")
