@@ -118,12 +118,13 @@ MODEL_CONFIGS: Dict[str, CLIPConfig] = {
              mlp_ratio=4.9231),
         dict(width=1280, heads=20, layers=32),
     ),
-    # EVA01-g-14 vision tower re-expressed as a native ViT (the reference wraps
-    # timm's eva_giant_patch14_224; here it is the same transformer family).
+    # EVA01-g-14: timm eva_giant_patch14_224 re-expressed natively
+    # (models/eva.py EVAVisionTower; BEiT-style qkv bias, no ln_pre,
+    # CLS-pool + head projection, LN eps 1e-6).
     "EVA01-g-14": _cfg(
         1024,
-        dict(image_size=224, patch_size=14, width=1408, layers=40, head_width=88,
-             mlp_ratio=4.3637),
+        dict(tower="eva", image_size=224, patch_size=14, width=1408,
+             layers=40, head_width=88, mlp_ratio=6144 / 1408),
         dict(width=768, heads=12, layers=12),
     ),
 }

@@ -48,6 +48,13 @@ class CLIP(nn.Module):
                 width=self.cfg.vision.width,
                 dtype=self.dtype,
             )
+        elif self.cfg.vision.tower == "eva":
+            from .eva import EVAVisionTower
+
+            self.visual = EVAVisionTower(
+                self.cfg.vision, self.cfg.embed_dim, dtype=self.dtype,
+                attn_impl=self.attn_impl, remat=self.remat,
+            )
         else:
             self.visual = VisionTransformer(
                 self.cfg.vision, self.cfg.embed_dim, self.cfg.quick_gelu,
