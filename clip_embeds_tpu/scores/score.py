@@ -97,6 +97,41 @@ def CLIPScore(model, params, **kw) -> Score:
     return Score(pair_forward)
 
 
+def ImageRewardScore(model, params, tokenize, image_size: int = 224,
+                     max_length: int = 35, batch_size: int = 8) -> Score:
+    """ImageReward ITMScore (t2v itmscore_models/image_reward_model.py:44-72):
+    standardized BLIP reward-head score per (image, text) pair; tokenizer
+    truncates/pads to 35 like the reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..image.preprocess import preprocess_batch
+
+    @jax.jit
+    def _scores(params, pixels, ids, mask):
+        return model.apply({"params": params}, pixels, ids, mask)
+
+    def pair_forward(images, texts):
+        out = np.zeros((len(images),), np.float32)
+        for s in range(0, len(images), batch_size):
+            imgs = images[s : s + batch_size]
+            txts = texts[s : s + batch_size]
+            rows = [tokenize(t)[:max_length] for t in txts]
+            ids = np.zeros((len(rows), max_length), np.int32)
+            mask = np.zeros((len(rows), max_length), bool)
+            for i, r in enumerate(rows):
+                ids[i, : len(r)] = r
+                mask[i, : len(r)] = True
+            pixels = preprocess_batch(list(imgs), image_size, "clip")
+            out[s : s + len(rows)] = np.asarray(_scores(
+                params, jnp.asarray(pixels), jnp.asarray(ids),
+                jnp.asarray(mask),
+            ))
+        return out
+
+    return Score(pair_forward)
+
+
 def ITMScore(model, params, tokenize, image_size: int = 224,
              max_length: int = 35, batch_size: int = 8) -> Score:
     """BLIP-2 ITM matching probability (t2v itmscore_models/

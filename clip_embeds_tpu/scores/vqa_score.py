@@ -429,3 +429,49 @@ class T5VQAScorer:
             self.params, jnp.asarray(input_ids), jnp.asarray(pixels),
             jnp.asarray(enc_mask), jnp.asarray(labels), jnp.asarray(dec_mask),
         ))
+
+
+# -- GPT-4V (API-backed) ------------------------------------------------------
+
+
+class GPT4VScorer:
+    """GPT-4V VQAScore (t2v_metrics gpt4v_model.py:30-140): ask the chat model
+    the yes/no question with the image attached, read P(answer) from the
+    first generated token's top-logprobs; 0.0 when the answer token is absent
+    or the call fails.
+
+    This environment has no egress, so the transport is injectable:
+    ``complete(question_text, image_path) -> [(token, logprob), ...]`` — pass
+    a thin wrapper over ``openai.OpenAI().chat.completions.create`` in
+    production (the reference's exact request shape is documented in its
+    forward_single)."""
+
+    def __init__(
+        self,
+        complete: Callable[[str, str], List],
+        top_logprobs: int = 2,
+    ):
+        self.complete = complete
+        self.top_logprobs = top_logprobs
+
+    def forward(
+        self,
+        images: Sequence[str],
+        texts: Sequence[str],
+        question_template: str = DEFAULT_QUESTION_TEMPLATE,
+        answer_template: str = DEFAULT_ANSWER_TEMPLATE,
+    ) -> np.ndarray:
+        assert len(images) == len(texts)
+        out = np.zeros((len(images),), np.float32)
+        for i, (image, text) in enumerate(zip(images, texts)):
+            question = question_template.format(text)
+            answer = answer_template.format(text)
+            try:
+                top = self.complete(question, image)
+            except Exception:
+                continue  # reference returns 0.0 on failure
+            for token, logprob in top:
+                if token == answer:
+                    out[i] = float(np.exp(logprob))
+                    break
+        return out
