@@ -12,8 +12,12 @@ rescaling passes — with fp32 logits on the MXU and bf16 IO. Padded KV columns
 are masked via the static valid length; Q is padded by the wrapper and sliced
 back.
 
-Backward currently runs through the XLA reference attention via custom_vjp
-(exact same math); a fused backward kernel is a later optimization.
+Backward is a fused Pallas kernel too: per (batch*head, q-tile) it recomputes
+the probability tile from (q, k) — cheaper than storing the [N, N] matrix —
+and accumulates dK/dV across q-tiles into revisited output blocks (TPU grid
+iteration is sequential, so read-modify-write accumulation is sound), while
+dQ writes per tile. Residuals are just (q, k, v, o): the delta term
+rowsum(dO*O) replaces the usual (m, l) bookkeeping.
 """
 
 from __future__ import annotations
@@ -153,21 +157,123 @@ def flash_attention(
     return _flash_attention_fwd_impl(q, k, v, causal, block_q)
 
 
+def _attn_bwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+    scale: float, causal: bool, kv_valid: int, block_q: int,
+):
+    qi = pl.program_id(1)
+    q = q_ref[0]                                # [bq, D]
+    k = k_ref[0]                                # [N, D]
+    v = v_ref[0]                                # [N, D]
+    o = o_ref[0].astype(jnp.float32)            # [bq, D]
+    do = do_ref[0].astype(jnp.float32)          # [bq, D]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                   # [bq, N]
+    n = s.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, n), 1)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, n), 0)
+        mask = (col < kv_valid) & (col <= row + qi * block_q)
+    else:
+        mask = col < kv_valid
+    s = jnp.where(mask, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # normalized probs, fp32
+    # guard fully-masked (padded) q rows: exp(NEG_INF - NEG_INF) = 1 row
+    p = jnp.where(mask, p, 0.0)
+
+    pv_dtype = v_ref.dtype
+    # dV += P^T dO
+    dv = jax.lax.dot_general(
+        p.astype(pv_dtype), do.astype(pv_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                           # [N, D]
+    # dP = dO V^T ; delta = rowsum(dO * O)
+    dp = jax.lax.dot_general(
+        do.astype(pv_dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                           # [bq, N]
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)   # [bq, 1]
+    ds = p * (dp - delta) * scale               # [bq, N] fp32
+    ds_c = ds.astype(pv_dtype)
+    dq = jax.lax.dot_general(
+        ds_c, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                           # [bq, D]
+    dk = jax.lax.dot_general(
+        ds_c, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                           # [N, D]
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(qi != 0)
+    def _accum():
+        dk_ref[0] = dk_ref[0] + dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_ref[0] + dv.astype(dv_ref.dtype)
+
+
+def _flash_attention_bwd_impl(q, k, v, o, g, causal: bool, block_q: int):
+    b, h, n, d = q.shape
+    scale = d ** -0.5
+    n_pad = _round_up(n, block_q)
+    if n_pad != n:
+        pad = [(0, 0), (0, 0), (0, n_pad - n), (0, 0)]
+        q, k, v, o, g = (jnp.pad(t, pad) for t in (q, k, v, o, g))
+    bh = b * h
+    qf, kf, vf, of, gf = (
+        t.reshape(bh, n_pad, d) for t in (q, k, v, o, g)
+    )
+    grid = (bh, n_pad // block_q)
+    full = pl.BlockSpec((1, n_pad, d), lambda bhi, qi: (bhi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((1, block_q, d), lambda bhi, qi: (bhi, qi, 0),
+                        memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel, scale=scale, causal=causal, kv_valid=n,
+            block_q=block_q,
+        ),
+        grid=grid,
+        in_specs=[tile, full, full, tile, tile],
+        out_specs=[tile, full, full],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_pad, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * n_pad * n_pad * d,
+            bytes_accessed=8 * bh * n_pad * d * q.dtype.itemsize,
+            transcendentals=bh * n_pad * n_pad,
+        ),
+    )(qf, kf, vf, of, gf)
+
+    def unpad(t, dtype):
+        return t.reshape(b, h, n_pad, d)[:, :, :n, :].astype(dtype)
+
+    return unpad(dq, q.dtype), unpad(dk, k.dtype), unpad(dv, v.dtype)
+
+
 def _fwd(q, k, v, causal, block_q):
     if block_q == 0:
         block_q = _pick_block_q(q.shape[-2])
-    return _flash_attention_fwd_impl(q, k, v, causal, block_q), (q, k, v)
+    out = _flash_attention_fwd_impl(q, k, v, causal, block_q)
+    return out, (q, k, v, out)
 
 
 def _bwd(causal, block_q, residuals, g):
-    from .attention import reference_attention
-
-    q, k, v = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: reference_attention(q_, k_, v_, causal=causal),
-        q, k, v,
-    )
-    return vjp(g)
+    q, k, v, o = residuals
+    if block_q == 0:
+        block_q = _pick_block_q(q.shape[-2])
+    return _flash_attention_bwd_impl(q, k, v, o, g, causal, block_q)
 
 
 flash_attention.defvjp(_fwd, _bwd)

@@ -86,3 +86,44 @@ def test_bf16_io(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(expected), rtol=2e-2, atol=2e-2
     )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (1, 2, 128, 32),   # aligned, single tile
+        (1, 2, 77, 32),    # padded rows exercise the masked-row guard
+        (1, 1, 256, 32),   # multi-tile accumulation of dK/dV
+    ],
+)
+def test_fused_backward_matches_reference(monkeypatch, causal, shape):
+    _pallas_interpret(monkeypatch)
+    r = np.random.default_rng(2)
+    q, k, v = (
+        jnp.asarray(r.standard_normal(shape).astype(np.float32))
+        for _ in range(3)
+    )
+    g = jnp.asarray(r.standard_normal(shape).astype(np.float32))
+
+    # force multi-tile on the 256 case
+    block_q = 128 if shape[2] == 256 else 0
+    out, vjp = jax.vjp(
+        lambda q_, k_, v_: fa.flash_attention(q_, k_, v_, causal, block_q),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+
+    ref_out, ref_vjp = jax.vjp(
+        lambda q_, k_, v_: reference_attention(q_, k_, v_, causal=causal),
+        q, k, v,
+    )
+    rdq, rdk, rdv = ref_vjp(g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv),
+                               rtol=2e-4, atol=2e-4)
