@@ -168,13 +168,24 @@ _QUICK_GELU_TAGS = {"openai"}
 
 
 def get_model_config(name: str, pretrained: Optional[str] = None) -> CLIPConfig:
-    """Resolve a model name (+ optional pretrained tag) to a CLIPConfig."""
+    """Resolve a model name (+ optional pretrained tag) to a CLIPConfig.
+
+    Hand-written MODEL_CONFIGS take priority; any other of the reference's
+    126 model-config names resolves through the data-driven registry
+    (core/openclip_registry.py) when its towers are native here.
+    """
     key = name.replace("/", "-")
     if key not in MODEL_CONFIGS:
-        raise KeyError(
-            f"unknown model {name!r}; known: {sorted(MODEL_CONFIGS)}"
-        )
-    cfg = MODEL_CONFIGS[key]
+        from .openclip_registry import get_raw_model_config, resolve_clip_config
+
+        if get_raw_model_config(key) is None:
+            raise KeyError(
+                f"unknown model {name!r}; known: {sorted(MODEL_CONFIGS)} "
+                "+ the open_clip registry (core/openclip_registry.py)"
+            )
+        cfg = resolve_clip_config(key)  # raises NotImplementedError w/ backend
+    else:
+        cfg = MODEL_CONFIGS[key]
     if pretrained in _QUICK_GELU_TAGS or key.endswith("-quickgelu"):
         cfg = cfg.replace(quick_gelu=True)
     return cfg

@@ -113,6 +113,13 @@ def tau_optimization(
                 row_stats.setdefault(row, TauStats()).add(stats)
 
     num_rows = len(row_stats)
+    if num_rows == 0:
+        # every pair was sampled away (or inputs held < 2 valid entries);
+        # the reference port divides by zero here — return a NaN result
+        return TauOptimizationResult(
+            thresholds=[0.0], taus=[float("nan")],
+            best_threshold=0.0, best_tau=float("nan"),
+        )
     thresholds = [0.0]
     total = sum(tau_fn(s) for s in row_stats.values())
     taus = [total / num_rows]
@@ -183,12 +190,14 @@ def pearson(gold_scores, metric_scores) -> float:
 
 
 def correlation_metrics(
-    gold_scores, metric_scores, sample_rate: float = 1.0
+    gold_scores, metric_scores, sample_rate: float = 1.0,
+    rng: Optional[np.random.Generator] = None,
 ) -> dict:
     """The GenAI-Bench human-correlation bundle (dataset.py:1396-1420):
     pearson, kendall-b, and pairwise accuracy with tie calibration."""
     opt = tau_optimization(
-        metric_scores, gold_scores, TauStats.acc_23, sample_rate=sample_rate
+        metric_scores, gold_scores, TauStats.acc_23,
+        sample_rate=sample_rate, rng=rng,
     )
     return {
         "pearson": pearson(gold_scores, metric_scores),

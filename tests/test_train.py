@@ -173,3 +173,35 @@ def test_zero1_sharded_opt_state_matches(tiny_model):
     # comparison is meaningless there
     for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_sh.params)):
         assert np.abs(np.asarray(b) - np.asarray(a)).max() < 1e-4
+
+
+def test_vlm2vec_argument_dataclasses():
+    from clip_embeds_tpu.train.arguments import (
+        DataArguments,
+        ModelArguments,
+        MTEBArguments,
+        TrainingArguments,
+        parse_dataclasses,
+    )
+
+    margs, dargs, targs, mteb = parse_dataclasses(
+        [ModelArguments, DataArguments, TrainingArguments, MTEBArguments],
+        [
+            "--model_name", "llava-v1.5-7b",
+            "--lora", "--lora_r", "8",
+            "--subset_name", "ImageNet_1K", "OK-VQA",
+            "--temperature", "0.02",
+            "--grad_cache", "--gc_q_chunk_size", "1",
+            "--no_bf16",
+            "--max_len", "1024",
+        ],
+    )
+    assert margs.model_name == "llava-v1.5-7b"
+    assert margs.lora and margs.lora_r == 8
+    assert margs.lora_targets[:2] == ("qkv_proj", "o_proj")
+    assert dargs.subset_name == ["ImageNet_1K", "OK-VQA"]
+    assert dargs.max_len == 1024
+    assert targs.grad_cache and targs.gc_q_chunk_size == 1
+    assert targs.bf16 is False
+    assert targs.gc_p_chunk_size == 2  # default preserved
+    assert mteb.tasks is None
