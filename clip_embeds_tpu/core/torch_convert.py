@@ -650,3 +650,54 @@ def convert_instructblip_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
         "language_projection": _linear(sd, "language_projection"),
         "t5": convert_t5_state_dict(sd, prefix="language_model."),
     }
+
+
+def convert_qwen2_5_vl_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """HF Qwen2_5_VLForConditionalGeneration -> models.qwen2_vl.Qwen25VL.
+
+    Same layouts as convert_qwen2_vl_state_dict but the vision blocks carry
+    RMSNorm (weight-only) and gate/up/down SiLU MLPs, and the merger's ln_q
+    is an RMSNorm (reference VLM2Vec/src/vlm_backbone/qwen2_5_vl)."""
+    sd = dict(sd)
+    if any(k.startswith("model.visual.") for k in sd):
+        renamed = {}
+        for k, v in sd.items():
+            if k.startswith("model.visual."):
+                renamed["visual." + k[len("model.visual."):]] = v
+            elif k.startswith("model.language_model."):
+                renamed["model." + k[len("model.language_model."):]] = v
+            else:
+                renamed[k] = v
+        sd = renamed
+
+    def _rms(prefix):
+        return {"weight": _np(sd[prefix + ".weight"])}
+
+    conv_w = _np(sd["visual.patch_embed.proj.weight"])  # [D, C, tp, p, p]
+    d = conv_w.shape[0]
+    n_v = 0
+    while f"visual.blocks.{n_v}.norm1.weight" in sd:
+        n_v += 1
+    blocks: Dict[str, Any] = {}
+    for i in range(n_v):
+        pre = f"visual.blocks.{i}"
+        blocks[f"blocks_{i}"] = {
+            "norm1": _rms(f"{pre}.norm1"),
+            "norm2": _rms(f"{pre}.norm2"),
+            "qkv": _linear(sd, f"{pre}.attn.qkv"),
+            "proj": _linear(sd, f"{pre}.attn.proj"),
+            "gate_proj": _linear(sd, f"{pre}.mlp.gate_proj"),
+            "up_proj": _linear(sd, f"{pre}.mlp.up_proj"),
+            "down_proj": _linear(sd, f"{pre}.mlp.down_proj"),
+        }
+    visual = dict(
+        blocks,
+        patch_embed={"kernel": conv_w.reshape(d, -1).T},
+        ln_q=_rms("visual.merger.ln_q"),
+        merger_fc1=_linear(sd, "visual.merger.mlp.0"),
+        merger_fc2=_linear(sd, "visual.merger.mlp.2"),
+    )
+    text = convert_llama_state_dict(
+        {k: v for k, v in sd.items() if not k.startswith("visual.")}
+    )
+    return {"visual": visual, "language_model": text}

@@ -388,3 +388,240 @@ class Qwen2VL(nn.Module):
         last = jnp.sum(attention_mask.astype(jnp.int32), axis=1) - 1
         pooled = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0]
         return l2_normalize(pooled)
+
+
+# -- Qwen2.5-VL ---------------------------------------------------------------
+#
+# Reference: VLM2Vec/src/vlm_backbone/qwen2_5_vl/ (vendored HF fork). The
+# vision tower differs from Qwen2-VL in three ways (HF
+# modeling_qwen2_5_vl.py Qwen2_5_VisionTransformerPretrainedModel):
+#   * RMSNorm (eps 1e-6) instead of LayerNorm, SiLU gate/up/down MLP (bias)
+#   * WINDOW attention: merge-groups are reordered window-major
+#     (get_window_index) and all but `fullatt_block_indexes` layers attend
+#     only within their (window_size/merge/patch)^2-cell window
+#   * the patch merger RMS-normalizes before the 2-layer MLP
+# TPU-first: the window permutation + segment ids are a pure function of the
+# static grid, so they are computed host-side in numpy at trace time and the
+# reorder is a static gather; window masking is a segment-id equality mask
+# (identical math to the reference's cu_seqlens varlen attention).
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen25VLVisionConfig:
+    depth: int = 32
+    embed_dim: int = 1280            # HF hidden_size
+    intermediate_size: int = 3420
+    hidden_size: int = 3584          # HF out_hidden_size (merger output)
+    num_heads: int = 16
+    in_channels: int = 3
+    patch_size: int = 14
+    spatial_merge_size: int = 2
+    temporal_patch_size: int = 2
+    window_size: int = 112
+    fullatt_block_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def patch_dim(self) -> int:
+        return (
+            self.in_channels * self.temporal_patch_size * self.patch_size ** 2
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen25VLConfig:
+    text: LlamaConfig = dataclasses.field(
+        default_factory=lambda: LlamaConfig(
+            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+            num_layers=28, num_heads=28, num_kv_heads=4, rope_theta=1e6,
+            rms_norm_eps=1e-6, attention_bias=True,
+            mrope_section=(16, 24, 24),
+        )
+    )
+    vision: Qwen25VLVisionConfig = dataclasses.field(
+        default_factory=Qwen25VLVisionConfig
+    )
+    image_token_id: int = 151655
+    video_token_id: int = 151656
+    vision_start_token_id: int = 151652
+
+
+def _window_plan(
+    grid: Tuple[int, int, int], cfg: Qwen25VLVisionConfig
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(perm, win_id) over merge-groups for a static grid.
+
+    perm[new_pos] = original merge-group index (the get_window_index
+    reorder); win_id[new_pos] = window segment id of that group (windows are
+    per (t, win_h, win_w); ragged edges keep their smaller windows)."""
+    t, h, w = grid
+    m = cfg.spatial_merge_size
+    lh, lw = h // m, w // m
+    vw = cfg.window_size // m // cfg.patch_size  # cells per window side
+    pad_h = (-lh) % vw
+    pad_w = (-lw) % vw
+    nwh, nww = (lh + pad_h) // vw, (lw + pad_w) // vw
+    index = np.arange(t * lh * lw).reshape(t, lh, lw)
+    padded = np.full((t, lh + pad_h, lw + pad_w), -100, np.int64)
+    padded[:, :lh, :lw] = index
+    padded = padded.reshape(t, nwh, vw, nww, vw)
+    padded = padded.transpose(0, 1, 3, 2, 4).reshape(t, nwh * nww, vw, vw)
+    flat = padded.reshape(-1)
+    perm = flat[flat != -100]
+    win = np.broadcast_to(
+        np.arange(t * nwh * nww).reshape(t, nwh * nww, 1, 1), padded.shape
+    ).reshape(-1)
+    win_id = win[flat != -100]
+    return perm, win_id
+
+
+class Qwen25VisionBlock(nn.Module):
+    cfg: Qwen25VLVisionConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                  # [B, L, D]
+        cos: jax.Array,                # [L, hd]
+        sin: jax.Array,
+        attn_mask: Optional[jax.Array],  # bool [L, L] or None
+    ) -> jax.Array:
+        from .llama import RMSNorm
+
+        cfg = self.cfg
+        b, l, d = x.shape
+        nh, hd = cfg.num_heads, cfg.head_dim
+
+        h = RMSNorm(1e-6, self.dtype, name="norm1")(x)
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        cos_ = cos[None, None].astype(jnp.float32)
+        sin_ = sin[None, None].astype(jnp.float32)
+        q = (q.astype(jnp.float32) * cos_ + _rotate_half(
+            q.astype(jnp.float32)) * sin_).astype(v.dtype)
+        k = (k.astype(jnp.float32) * cos_ + _rotate_half(
+            k.astype(jnp.float32)) * sin_).astype(v.dtype)
+
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (hd ** -0.5)
+        if attn_mask is not None:
+            logits = jnp.where(attn_mask[None, None], logits, -1e9)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+        x = x + nn.Dense(d, dtype=self.dtype, name="proj")(out)
+
+        h = RMSNorm(1e-6, self.dtype, name="norm2")(x)
+        gate = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                        name="gate_proj")(h)
+        up = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                      name="up_proj")(h)
+        h = jax.nn.silu(gate) * up
+        return x + nn.Dense(d, dtype=self.dtype, name="down_proj")(h)
+
+
+class Qwen25VisionTower(nn.Module):
+    """Qwen2.5-VL window-attention vision tower over one static grid."""
+
+    cfg: Qwen25VLVisionConfig
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        patches: jax.Array,            # [B, L, patch_dim] processor layout
+        grid: Tuple[int, int, int],    # static
+    ) -> jax.Array:
+        """-> merged image features [B, L / merge^2, hidden_size]."""
+        from .llama import RMSNorm
+
+        cfg = self.cfg
+        t, h, w = grid
+        b, l, _ = patches.shape
+        assert l == t * h * w, (l, grid)
+        m2 = cfg.spatial_merge_size ** 2
+
+        x = nn.Dense(cfg.embed_dim, use_bias=False, dtype=self.dtype,
+                     name="patch_embed")(patches.astype(self.dtype))
+
+        perm, win_id = _window_plan(grid, cfg)
+
+        # reorder merge-groups window-major (static gather)
+        x = x.reshape(b, l // m2, m2, cfg.embed_dim)[:, perm]
+        x = x.reshape(b, l, cfg.embed_dim)
+
+        # rope tables in the same (grouped, then window-permuted) order
+        cos_np, sin_np = _vision_rope(
+            grid, cfg.head_dim, cfg.spatial_merge_size
+        )
+        cos_np = cos_np.reshape(l // m2, m2, -1)[perm].reshape(l, -1)
+        sin_np = sin_np.reshape(l // m2, m2, -1)[perm].reshape(l, -1)
+        cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+
+        # token-level segment ids (window / frame) in the reordered layout
+        win_tok = np.repeat(win_id, m2)
+        window_mask = jnp.asarray(win_tok[:, None] == win_tok[None, :])
+        full_mask = None
+        if t > 1:
+            # frame id of each merge-group = group_index // (lh * lw)
+            lh, lw = h // cfg.spatial_merge_size, w // cfg.spatial_merge_size
+            frame_tok = np.repeat(perm // (lh * lw), m2)
+            full_mask = jnp.asarray(
+                frame_tok[:, None] == frame_tok[None, :]
+            )
+
+        block = Qwen25VisionBlock
+        if self.remat:
+            block = nn.remat(Qwen25VisionBlock, static_argnums=())
+        for i in range(cfg.depth):
+            mask = (
+                full_mask if i in cfg.fullatt_block_indexes else window_mask
+            )
+            x = block(cfg, dtype=self.dtype, name=f"blocks_{i}")(
+                x, cos, sin, mask
+            )
+
+        # merger: RMS ln_q, group merge^2 consecutive tokens, 2-layer MLP
+        x = RMSNorm(1e-6, self.dtype, name="ln_q")(x)
+        x = x.reshape(b, l // m2, m2 * cfg.embed_dim)
+        x = nn.Dense(m2 * cfg.embed_dim, dtype=self.dtype,
+                     name="merger_fc1")(x)
+        x = exact_gelu(x)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="merger_fc2")(x)
+
+        # restore original merge-group order for the LM splice
+        inv = np.argsort(perm)
+        return x[:, inv]
+
+
+class Qwen25VL(nn.Module):
+    """Qwen2.5-VL: window-attention tower + the Qwen2 M-RoPE trunk."""
+
+    cfg: Qwen25VLConfig
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    def setup(self):
+        self.visual = Qwen25VisionTower(
+            self.cfg.vision, dtype=self.dtype, remat=self.remat
+        )
+        self.language_model = LlamaForCausalLM(
+            self.cfg.text, dtype=self.dtype, attn_impl=self.attn_impl,
+            remat=self.remat,
+        )
+
+    merge = Qwen2VL.merge
+    __call__ = Qwen2VL.__call__
+    embed_last_token = Qwen2VL.embed_last_token
