@@ -18,8 +18,11 @@ class VisionConfig:
     patch_size: int = 16
     width: int = 768
     layers: int = 12
-    tower: str = "vit"  # 'vit' | 'resnet'
+    tower: str = "vit"  # 'vit' | 'resnet' | 'eva' | 'convnext'
     resnet_layers: Tuple[int, ...] = ()  # ModifiedResNet stage depths
+    convnext_depths: Tuple[int, ...] = ()  # ConvNeXt stage depths
+    convnext_dims: Tuple[int, ...] = ()    # ConvNeXt stage widths
+    head_proj: str = "linear"  # timm-style head projection: 'linear' | 'mlp'
     head_width: int = 64
     mlp_ratio: float = 4.0
     pool_type: str = "tok"  # 'tok' | 'avg' | 'none'

@@ -55,6 +55,19 @@ class CLIP(nn.Module):
                 self.cfg.vision, self.cfg.embed_dim, dtype=self.dtype,
                 attn_impl=self.attn_impl, remat=self.remat,
             )
+        elif self.cfg.vision.tower == "convnext":
+            from .convnext import ConvNeXtConfig, ConvNeXtTower
+
+            self.visual = ConvNeXtTower(
+                ConvNeXtConfig(
+                    depths=self.cfg.vision.convnext_depths,
+                    dims=self.cfg.vision.convnext_dims,
+                    embed_dim=self.cfg.embed_dim,
+                    proj=self.cfg.vision.head_proj,
+                    image_size=self.cfg.vision.image_size,
+                ),
+                dtype=self.dtype, remat=self.remat,
+            )
         else:
             self.visual = VisionTransformer(
                 self.cfg.vision, self.cfg.embed_dim, self.cfg.quick_gelu,
