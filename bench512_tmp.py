@@ -1,0 +1,88 @@
+"""Benchmark: ViT-L/14-336 image-embedding throughput (images/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference stack embeds images through torch CLIP ViT-L/14-336
+with fp16 autocast + SDPA on an A100; public numbers put that at roughly
+1000 img/s/GPU for pure encode at batch 256. The BASELINE.json target is
+>= 2x that per TPU chip. vs_baseline = value / 1000.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_BASELINE_IMG_PER_S = 1000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from clip_embeds_tpu.core.factory import create_model
+    from clip_embeds_tpu.image.preprocess import jax_preprocess
+
+    on_tpu = jax.default_backend() == "tpu"
+    batch = 512 if on_tpu else 8
+
+    # openai tag => QuickGELU, matching the real deployed checkpoint
+    model, params = create_model("ViT-L-14-336", pretrained="openai", dtype=jnp.bfloat16)
+    params = jax.device_put(params)
+
+    @jax.jit
+    def embed(params, raw_u8, salt):
+        # fused on-device preprocess -> patchify -> encoder -> normalized embed
+        # (salt varies the input per iteration so no runtime layer can dedupe
+        # identical dispatches)
+        images = jax_preprocess(raw_u8, 336, "clip", jnp.bfloat16)
+        images = images + salt.astype(jnp.bfloat16)
+        return model.apply(
+            {"params": params}, images, normalize=True, method="encode_image"
+        )
+
+    import numpy as np
+
+    raw = np.random.default_rng(0).integers(
+        0, 255, (batch, 336, 336, 3), dtype=np.uint8
+    )
+    raw = jax.device_put(jnp.asarray(raw))
+
+    # Timing notes for the axon remote platform: block_until_ready returns
+    # immediately (only host fetches force execution) and every dispatch pays
+    # tunnel latency. So the whole iteration loop runs on-device inside one
+    # jit (lax.fori_loop chained through a salt scalar), and the per-iteration
+    # time is the difference between a long and a short loop — constant
+    # dispatch/fetch overhead cancels.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames="iters")
+    def bench_loop(params, raw, iters):
+        def body(_, salt):
+            out = embed(params, raw, salt)
+            return out[0, 0].astype(jnp.float32) * 1e-6
+        return jax.lax.fori_loop(0, iters, body, jnp.asarray(1e-6))
+
+    iters = 20 if on_tpu else 2
+    float(bench_loop(params, raw, 1))       # compile short
+    float(bench_loop(params, raw, iters))   # compile long
+
+    t0 = time.perf_counter()
+    float(bench_loop(params, raw, 1))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(bench_loop(params, raw, iters))
+    t_long = time.perf_counter() - t0
+    elapsed = max(t_long - t_short, 1e-9) / (iters - 1) * iters
+
+    img_per_s = batch * iters / elapsed
+    print(json.dumps({
+        "metric": "vit_l14_336_embed_images_per_sec_per_chip",
+        "value": round(img_per_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / A100_BASELINE_IMG_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

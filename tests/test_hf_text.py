@@ -47,3 +47,49 @@ def test_bert_text_tower():
     params = tower.init(jax.random.PRNGKey(0), ids)["params"]
     out = tower.apply({"params": params}, ids)
     assert out.shape == (2, 16)
+
+
+def test_build_custom_text_clip_registry_archs():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_embeds_tpu.models.custom_text_clip import (
+        HF_TEXT_SHAPES,
+        build_custom_text_clip,
+    )
+    from clip_embeds_tpu.core.openclip_registry import (
+        classify_model,
+        list_openclip_models,
+    )
+
+    # every hf-text arch in the registry must resolve to a buildable module
+    archs = [n for n in list_openclip_models()
+             if classify_model(n)[0] == "hf-text"]
+    assert len(archs) == 5
+    for n in archs:
+        m = build_custom_text_clip(n)
+        assert m.cfg.hf_model_name in HF_TEXT_SHAPES
+
+    # tiny end-to-end forward on a shrunken roberta config
+    m = build_custom_text_clip("roberta-ViT-B-32")
+    import dataclasses as dc
+
+    from clip_embeds_tpu.core.config import VisionConfig
+
+    tiny = dc.replace(
+        m.cfg,
+        vision=VisionConfig(image_size=32, patch_size=16, width=32, layers=1,
+                            head_width=16),
+    )
+    from clip_embeds_tpu.models.custom_text_clip import CustomTextCLIP
+
+    m = CustomTextCLIP(tiny)
+    # tiny vision tower + the real roberta-base text shapes on a 4-token batch
+    imgs = jnp.zeros((1, 32, 32, 3))
+    ids = jnp.zeros((1, 4), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), imgs, ids)["params"]
+    out = m.apply({"params": params}, imgs, ids)
+    assert out["image_features"].shape == (1, 512)
+    assert out["text_features"].shape == (1, 512)
+    assert np.isfinite(np.asarray(out["text_features"])).all()
