@@ -1,0 +1,187 @@
+"""Batch image-embedding serving driver.
+
+The reference's eval loops preprocess one PIL image per model call inside the
+scoring loop (eval_clip.py:50-65) — the host-device ping-pong SURVEY.md §7
+flags as the throughput killer. This driver is the production path instead:
+
+  * a thread pool decodes images ahead of the device (prefetch window)
+  * resize+normalize goes through the native C++ library when available
+    (native/resize.cpp, threaded; PIL fallback)
+  * batches are dispatched asynchronously — JAX's async dispatch keeps the
+    TPU busy on batch i while the host prepares batch i+1 (double buffering)
+  * embeddings land in one [N, D] .npy plus a path manifest
+
+Usage:
+  python -m clip_embeds_tpu.cli.embed --model ViT-L-14-336 \
+      --pretrained /ckpt.pt --input /data/images --output emb.npy \
+      [--batch-size 256] [--int8] [--bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as cf
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+
+def list_images(root: str) -> List[str]:
+    if os.path.isfile(root) and not root.lower().endswith(tuple(IMAGE_EXTS)):
+        # manifest file: one path per line
+        with open(root) as fh:
+            return [ln.strip() for ln in fh if ln.strip()]
+    if os.path.isfile(root):
+        return [root]
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for fn in sorted(files):
+            if os.path.splitext(fn)[1].lower() in IMAGE_EXTS:
+                out.append(os.path.join(dirpath, fn))
+    return out
+
+
+def _load_one(path: str, image_size: int) -> Optional[np.ndarray]:
+    """Decode + shortest-side resize + center crop + normalize -> [S,S,3]."""
+    from PIL import Image
+
+    from ..core.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+    from ..image.preprocess import (
+        _center_crop,
+        _normalize,
+        _resize_shortest,
+        native_resize_normalize,
+    )
+
+    try:
+        img = Image.open(path).convert("RGB")
+    except Exception as e:  # corrupt file: skip, like wds log_and_continue
+        print(f"skip {path}: {e}", file=sys.stderr)
+        return None
+    # shortest-side resize to S then center crop on the uint8 image, then
+    # the native normalize; falls back to the PIL path
+    short = _resize_shortest(img, image_size)
+    short = _center_crop(short, image_size)
+    arr = np.asarray(short)
+    native = native_resize_normalize(
+        arr, image_size, OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+    )
+    if native is not None:
+        return native
+    return _normalize(arr, OPENAI_DATASET_MEAN, OPENAI_DATASET_STD)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--model", default="ViT-L-14-336")
+    ap.add_argument("--pretrained", default=None)
+    ap.add_argument("--input", required=True,
+                    help="image directory, single image, or manifest file")
+    ap.add_argument("--output", required=True, help=".npy output path")
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--fp32", dest="bf16", action="store_false")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 W8A8 serving path (models/quant.py)")
+    ap.add_argument("--workers", type=int, default=os.cpu_count() or 8)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.factory import create_model
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model, params = create_model(
+        args.model, pretrained=args.pretrained, dtype=dtype,
+    )
+    size = model.cfg.vision.image_size
+    calibrated = {"done": not args.int8}
+
+    @jax.jit
+    def embed(params, pixels):
+        return model.apply(
+            {"params": params}, pixels.astype(dtype), normalize=True,
+            method="encode_image",
+        )
+
+    def maybe_calibrate_int8(first_batch: np.ndarray):
+        """Swap in the W8A8 static-scale serving model, calibrated on the
+        first real batch (models/quant.py; +18% over bf16 on v5e)."""
+        nonlocal model, params, embed
+        from ..models.clip import CLIP
+        from ..models.quant import calibrate_act_scales, quantize_dense_tree
+
+        qparams = quantize_dense_tree(jax.device_get(params))
+        dyn = CLIP(model.cfg, dtype=dtype, quant=True)
+        sparams = calibrate_act_scales(
+            dyn, qparams, [(jnp.asarray(first_batch),)],
+            apply_kwargs={"method": "encode_image"},
+        )
+        model = CLIP(model.cfg, dtype=dtype, quant="static")
+        params = jax.device_put(sparams)
+        embed = jax.jit(lambda p, px: model.apply(
+            {"params": p}, px.astype(dtype), normalize=True,
+            method="encode_image",
+        ))
+        calibrated["done"] = True
+
+    paths = list_images(args.input)
+    if not paths:
+        print(f"no images under {args.input}", file=sys.stderr)
+        return 1
+
+    bs = args.batch_size
+    t0 = time.perf_counter()
+    kept_paths: List[str] = []
+    outputs = []  # device arrays; fetch lazily (async dispatch pipeline)
+    with cf.ThreadPoolExecutor(args.workers) as pool:
+        futs = [pool.submit(_load_one, p, size) for p in paths]
+        batch: List[np.ndarray] = []
+        for path, fut in zip(paths, futs):
+            arr = fut.result()
+            if arr is None:
+                continue
+            kept_paths.append(path)
+            batch.append(arr)
+            if len(batch) == bs:
+                stacked = np.stack(batch)
+                if not calibrated["done"]:
+                    maybe_calibrate_int8(stacked)
+                outputs.append(embed(params, jnp.asarray(stacked)))
+                batch = []
+        if batch:
+            if not calibrated["done"]:
+                maybe_calibrate_int8(np.stack(batch))
+            # pad the tail batch to the static shape, slice after
+            tail = len(batch)
+            batch += [batch[-1]] * (bs - tail)
+            outputs.append(
+                embed(params, jnp.asarray(np.stack(batch)))[:tail]
+            )
+    embs = np.concatenate(
+        [np.asarray(o, dtype=np.float32) for o in outputs], axis=0
+    )
+    elapsed = time.perf_counter() - t0
+
+    np.save(args.output, embs)
+    with open(args.output + ".paths.json", "w") as fh:
+        json.dump(kept_paths, fh)
+    print(json.dumps({
+        "images": len(kept_paths),
+        "dim": int(embs.shape[1]),
+        "seconds": round(elapsed, 3),
+        "images_per_sec": round(len(kept_paths) / elapsed, 2),
+        "output": args.output,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,126 @@
+"""Where does per-layer time go? matmuls alone vs +elementwise vs full."""
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+
+B, N, D, H = 256, 640, 1024, 16
+HD = D // H
+L = 24
+
+
+def make_params(key):
+    ks = jax.random.split(key, L * 4)
+    s = 0.02
+    return [{
+        "wqkv": jax.random.normal(ks[4*i], (D, 3*D), jnp.bfloat16) * s,
+        "wo": jax.random.normal(ks[4*i+1], (D, D), jnp.bfloat16) * s,
+        "w1": jax.random.normal(ks[4*i+2], (D, 4*D), jnp.bfloat16) * s,
+        "w2": jax.random.normal(ks[4*i+3], (4*D, D), jnp.bfloat16) * s,
+        "g1": jnp.ones((D,), jnp.bfloat16),
+        "g2": jnp.ones((D,), jnp.bfloat16),
+    } for i in range(L)]
+
+
+def ln(x, g):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype) * g
+
+
+def block_matmul_only(h, p):
+    qkv = h @ p["wqkv"]
+    q = qkv[..., :D]
+    a = q @ p["wo"]
+    m = a @ p["w1"]
+    return m @ p["w2"]
+
+
+def block_no_attn(h, p):
+    a = ln(h, p["g1"]) @ p["wqkv"]
+    h = h + a[..., :D] @ p["wo"]
+    m = ln(h, p["g2"]) @ p["w1"]
+    m = m * jax.nn.sigmoid(1.702 * m)
+    return h + m @ p["w2"]
+
+
+def block_softmax_only(h, p):
+    # adds the attention softmax+einsums with identity value path removed
+    a = ln(h, p["g1"]) @ p["wqkv"]
+    q = a[..., :D].reshape(B, N, H, HD)
+    k = a[..., D:2*D].reshape(B, N, H, HD)
+    v = a[..., 2*D:].reshape(B, N, H, HD)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * HD**-0.5
+    pr = jax.nn.softmax(logits, -1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", pr, v).reshape(B, N, D)
+    h = h + o @ p["wo"]
+    m = ln(h, p["g2"]) @ p["w1"]
+    m = m * jax.nn.sigmoid(1.702 * m)
+    return h + m @ p["w2"]
+
+
+def bench(name, blk, params, x):
+    def model(params, x):
+        for p in params:
+            x = blk(x, p)
+        return x
+
+    @functools.partial(jax.jit, static_argnames="iters")
+    def loop(params, x, iters):
+        def body(_, salt):
+            out = model(params, x + salt.astype(x.dtype))
+            return out[0, 0, 0].astype(jnp.float32) * 1e-6
+        return jax.lax.fori_loop(0, iters, body, jnp.asarray(1e-6))
+
+    iters = 12
+    float(loop(params, x, 1)); float(loop(params, x, iters))
+    t0 = time.perf_counter(); float(loop(params, x, 1))
+    ts = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(loop(params, x, iters))
+    tl = time.perf_counter() - t0
+    per = (tl - ts) / (iters - 1)
+    # matmul flops per layer: qkv 3 + out 1 + mlp 8 (in D^2 units of 2*B*N)
+    tf = 12 * 2 * B * N * D * D * L / per / 1e12
+    print(f"{name}: {per*1000/L:.2f} ms/layer, {tf:.0f} eff-TFLOPs")
+
+
+def main():
+    params = make_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, N, D), jnp.bfloat16)
+    for name, blk in [("matmul_only", block_matmul_only),
+                      ("no_attn", block_no_attn),
+                      ("softmax_attn", block_softmax_only)]:
+        bench(name, blk, params, x)
+
+
+if __name__ == "__main__" and "--pallas" not in __import__("sys").argv:
+    main()
+
+
+def block_pallas(h, p):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from clip_embeds_tpu.ops.flash_attention import flash_attention
+    a = ln(h, p["g1"]) @ p["wqkv"]
+    q = a[..., :D].reshape(B, N, H, HD).transpose(0, 2, 1, 3)
+    k = a[..., D:2*D].reshape(B, N, H, HD).transpose(0, 2, 1, 3)
+    v = a[..., 2*D:].reshape(B, N, H, HD).transpose(0, 2, 1, 3)
+    o = flash_attention(q, k, v)
+    o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
+    h = h + o @ p["wo"]
+    m = ln(h, p["g2"]) @ p["w1"]
+    m = m * jax.nn.sigmoid(1.702 * m)
+    return h + m @ p["w2"]
+
+
+def main2():
+    params = make_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, N, D), jnp.bfloat16)
+    bench("pallas_attn", block_pallas, params, x)
+
+
+if __name__ == "__main__" and "--pallas" in __import__("sys").argv:
+    main2()
