@@ -30,6 +30,13 @@ def main() -> None:
     model, params = create_model("ViT-L-14-336", pretrained="openai", dtype=jnp.bfloat16)
     params = jax.device_put(params)
 
+    from clip_embeds_tpu.models.serving import (
+        fused_encode_image,
+        fused_path_available,
+    )
+
+    use_fused = on_tpu and fused_path_available(model)
+
     @jax.jit
     def embed(params, raw_u8, salt):
         # fused on-device preprocess -> patchify -> encoder -> normalized embed
@@ -37,6 +44,9 @@ def main() -> None:
         # identical dispatches)
         images = jax_preprocess(raw_u8, 336, "clip", jnp.bfloat16)
         images = images + salt.astype(jnp.bfloat16)
+        if use_fused:
+            # one-kernel-per-block serving path (ops/fused_block.py)
+            return fused_encode_image(model, params, images, normalize=True)
         return model.apply(
             {"params": params}, images, normalize=True, method="encode_image"
         )
