@@ -112,3 +112,160 @@ def _pool(x, pool_type: str):
     if pool_type == "tok":
         return x[:, 0]
     raise NotImplementedError(pool_type)
+
+
+# -- W8A8 fused serving path -------------------------------------------------
+
+
+def prepare_int8_tower(
+    model, params: Dict[str, Any], calib_images: jax.Array
+) -> Dict[str, Any]:
+    """Quantize the ViT tower's block projections to int8 and calibrate the
+    static activation scales on real images (models/quant.py flow: dynamic
+    pass with sown abs-max observations -> per-layer act_scale)."""
+    import numpy as np
+
+    from ..models.clip import CLIP
+    from ..models.quant import calibrate_act_scales, quantize_dense_tree
+
+    qtree = quantize_dense_tree(jax.device_get(params))
+    # plain-XLA attention: calibration is a one-time prep pass that may run
+    # on CPU (jax.default_device) where the Pallas kernel can't
+    dyn = CLIP(model.cfg, dtype=model.dtype, quant=True,
+               attn_impl="reference")
+    static = calibrate_act_scales(
+        dyn, qtree, [(calib_images,)],
+        apply_kwargs={"method": "encode_image"},
+    )
+    blocks = static["visual"]["transformer"]
+    out = {"blocks": []}
+    for i in range(model.cfg.vision.layers):
+        bp = blocks[f"resblocks_{i}"]
+        fp = params["visual"]["transformer"][f"resblocks_{i}"]
+        out["blocks"].append({
+            "wqkv_q": jnp.asarray(bp["attn"]["in_proj"]["kernel_q"]),
+            "sqkv": jnp.asarray(bp["attn"]["in_proj"]["scale"]),
+            "bqkv": jnp.asarray(fp["attn"]["in_proj"]["bias"]),
+            "wo_q": jnp.asarray(bp["attn"]["out_proj"]["kernel_q"]),
+            "so": jnp.asarray(bp["attn"]["out_proj"]["scale"]),
+            "bo": jnp.asarray(fp["attn"]["out_proj"]["bias"]),
+            "w1_q": jnp.asarray(bp["mlp"]["c_fc"]["kernel_q"]),
+            "s1": jnp.asarray(bp["mlp"]["c_fc"]["scale"]),
+            "b1": jnp.asarray(fp["mlp"]["c_fc"]["bias"]),
+            "w2_q": jnp.asarray(bp["mlp"]["c_proj"]["kernel_q"]),
+            "s2": jnp.asarray(bp["mlp"]["c_proj"]["scale"]),
+            "b2": jnp.asarray(fp["mlp"]["c_proj"]["bias"]),
+            "ln1": jnp.stack([fp["ln_1"]["scale"], fp["ln_1"]["bias"]]),
+            "ln2": jnp.stack([fp["ln_2"]["scale"], fp["ln_2"]["bias"]]),
+            "act_scales": jnp.asarray(np.stack([
+                bp["attn"]["in_proj"]["act_scale"],
+                bp["attn"]["out_proj"]["act_scale"],
+                bp["mlp"]["c_fc"]["act_scale"],
+                bp["mlp"]["c_proj"]["act_scale"],
+            ]), jnp.float32),
+        })
+    return out
+
+
+def fused_encode_image_int8(
+    model,
+    params: Dict[str, Any],        # full fp tree (prelude/pool/proj)
+    qtower: Dict[str, Any],        # prepare_int8_tower output
+    images: jax.Array,
+    normalize: bool = True,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """encode_image with W8A8 fused block kernels (21.2 ms/layer on v5e vs
+    30.6 bf16). Accuracy: validate per checkpoint — calibrated cos > 0.999
+    vs bf16 on the calibration distribution."""
+    from ..ops.fused_block import fused_block_int8
+
+    cfg = model.cfg.vision
+    p = params["visual"]
+    b = images.shape[0]
+
+    x = patchify(images.astype(dtype), cfg.patch_size)
+    x = x @ p["patch_embed"]["kernel"].astype(dtype)
+    cls = jnp.broadcast_to(
+        p["class_embedding"].astype(dtype), (b, 1, cfg.width)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["positional_embedding"].astype(dtype)
+    n_valid = x.shape[1]
+    if not cfg.no_ln_pre:
+        ln = p["ln_pre"]
+        x = _ln_affine(x, ln["scale"], ln["bias"])
+
+    align = 8 if interpret else 128
+    n_pad = _round_up(n_valid, align)
+    if n_pad != n_valid:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n_valid), (0, 0)])
+
+    for bp in qtower["blocks"]:
+        x = fused_block_int8(
+            x,
+            bp["wqkv_q"], bp["sqkv"], bp["bqkv"],
+            bp["wo_q"], bp["so"], bp["bo"],
+            bp["w1_q"], bp["s1"], bp["b1"],
+            bp["w2_q"], bp["s2"], bp["b2"],
+            bp["ln1"], bp["ln2"], bp["act_scales"],
+            heads=cfg.heads, kv_valid=n_valid,
+            quick_gelu=model.cfg.quick_gelu, interpret=interpret,
+        )
+    x = x[:, :n_valid]
+
+    lnp = p["ln_post"]
+    if cfg.final_ln_after_pool:
+        pooled = _pool(x, cfg.pool_type)
+        pooled = _ln_affine(pooled, lnp["scale"], lnp["bias"])
+    else:
+        x = _ln_affine(x, lnp["scale"], lnp["bias"])
+        pooled = _pool(x, cfg.pool_type)
+    pooled = pooled @ p["proj"].astype(dtype)
+    return l2_normalize(pooled) if normalize else pooled
+
+
+def fused_encode_text(
+    model,
+    params: Dict[str, Any],
+    text_ids: jax.Array,           # int [B, ctx]
+    normalize: bool = True,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """encode_text via fused causal block kernels (77 -> 128 pad)."""
+    cfg = model.cfg.text
+    p = params["text"]
+    x = p["token_embedding"]["embedding"].astype(dtype)[text_ids]
+    n_valid = text_ids.shape[1]
+    x = x + p["positional_embedding"][:n_valid].astype(dtype)
+
+    align = 8 if interpret else 128
+    n_pad = _round_up(n_valid, align)
+    if n_pad != n_valid:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n_valid), (0, 0)])
+
+    causal = not cfg.no_causal_mask
+    for i in range(cfg.layers):
+        bp = p["transformer"][f"resblocks_{i}"]
+        x = fused_block(
+            x,
+            bp["attn"]["in_proj"]["kernel"], bp["attn"]["in_proj"]["bias"],
+            bp["attn"]["out_proj"]["kernel"], bp["attn"]["out_proj"]["bias"],
+            bp["mlp"]["c_fc"]["kernel"], bp["mlp"]["c_fc"]["bias"],
+            bp["mlp"]["c_proj"]["kernel"], bp["mlp"]["c_proj"]["bias"],
+            jnp.stack([bp["ln_1"]["scale"], bp["ln_1"]["bias"]]),
+            jnp.stack([bp["ln_2"]["scale"], bp["ln_2"]["bias"]]),
+            heads=cfg.heads, kv_valid=n_valid,
+            quick_gelu=model.cfg.quick_gelu, causal=causal,
+            interpret=interpret,
+        )
+    x = x[:, :n_valid]
+    x = _ln_affine(x, p["ln_final"]["scale"], p["ln_final"]["bias"])
+
+    from .text_transformer import text_global_pool
+
+    pooled, _ = text_global_pool(x, text_ids, cfg.pool_type)
+    pooled = pooled @ p["text_projection"].astype(dtype)
+    return l2_normalize(pooled) if normalize else pooled

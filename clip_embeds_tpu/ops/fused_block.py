@@ -190,3 +190,139 @@ def fused_block_supported(n: int, d: int, heads: int, mlp_ratio: float) -> bool:
     weight_bytes = (3 * d * d + d * d + 2 * d * mlp) * 2
     act_bytes = n * (3 * d + 4 * d) * 2 + n * n * 4 + n * mlp * 4
     return weight_bytes + act_bytes < 100 * 1024 * 1024
+
+
+# -- W8A8 variant ------------------------------------------------------------
+#
+# Same fused block with int8 weights (per-out-channel scales) and int8
+# activations (static per-layer scales, models/quant.py calibration). The
+# int8 MXU path doubles matmul rate on v5e: 21.2 ms/layer measured vs 30.6
+# bf16 (perf/experiments/exp_megaint8.py). Attention stays bf16 (its matmuls
+# are tiny); only the four projections quantize.
+
+
+def _qdot(x32, a_scale, wq_ref, wscale_ref, bias_ref):
+    """fp32 activations -> int8 -> int8xint8 matmul -> fp32 dequant + bias."""
+    xq = jnp.clip(jnp.round(x32 / a_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * (a_scale * wscale_ref[0])
+            + bias_ref[0].astype(jnp.float32))
+
+
+def _kernel_int8(
+    x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
+    w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, g1_ref, g2_ref,
+    ascale_ref, o_ref, *,
+    heads: int, scale: float, kv_valid: int, quick_gelu: bool, ln_eps: float,
+):
+    x = x_ref[0]
+    n, d = x.shape
+    hd = d // heads
+    a = ascale_ref[0]
+
+    h32 = _ln(x, g1_ref[0, 0], g1_ref[0, 1], ln_eps).astype(jnp.float32)
+    qkv = _qdot(h32, a[0], wqkv_ref, sqkv_ref, bqkv_ref).astype(x.dtype)
+
+    outs = []
+    for g in range(heads):
+        q = qkv[:, g * hd:(g + 1) * hd]
+        k = qkv[:, d + g * hd:d + (g + 1) * hd]
+        v = qkv[:, 2 * d + g * hd:2 * d + (g + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if kv_valid < n:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            s = s + jnp.where(col < kv_valid, 0.0, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((o / l).astype(x.dtype))
+    att = jnp.concatenate(outs, axis=-1)
+
+    x = x + _qdot(att.astype(jnp.float32), a[1], wo_ref, so_ref,
+                  bo_ref).astype(x.dtype)
+
+    h32 = _ln(x, g2_ref[0, 0], g2_ref[0, 1], ln_eps).astype(jnp.float32)
+    m1 = _qdot(h32, a[2], w1_ref, s1_ref, b1_ref)
+    if quick_gelu:
+        m1 = m1 * jax.nn.sigmoid(1.702 * m1)
+    else:
+        m1 = jax.nn.gelu(m1, approximate=False)
+    x = x + _qdot(m1, a[3], w2_ref, s2_ref, b2_ref).astype(x.dtype)
+    o_ref[0] = x
+
+
+def fused_block_int8(
+    x: jax.Array,                 # [B, n, d]
+    wqkv_q, sqkv, bqkv,           # int8 [d,3d], fp32 [3d], fp32 [3d]
+    wo_q, so, bo,
+    w1_q, s1, b1,
+    w2_q, s2, b2,
+    ln1, ln2,                     # [2, d]
+    act_scales,                   # fp32 [4]: qkv, out, fc, proj
+    heads: int,
+    kv_valid: int,
+    quick_gelu: bool = False,
+    ln_eps: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    b, n, d = x.shape
+    mlp = w1_q.shape[1]
+    dt = x.dtype
+
+    def const(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    args = [
+        wqkv_q, jnp.asarray(sqkv, jnp.float32).reshape(1, -1),
+        jnp.asarray(bqkv, jnp.float32).reshape(1, -1),
+        wo_q, jnp.asarray(so, jnp.float32).reshape(1, -1),
+        jnp.asarray(bo, jnp.float32).reshape(1, -1),
+        w1_q, jnp.asarray(s1, jnp.float32).reshape(1, -1),
+        jnp.asarray(b1, jnp.float32).reshape(1, -1),
+        w2_q, jnp.asarray(s2, jnp.float32).reshape(1, -1),
+        jnp.asarray(b2, jnp.float32).reshape(1, -1),
+        ln1.astype(dt).reshape(1, 2, d), ln2.astype(dt).reshape(1, 2, d),
+        jnp.asarray(act_scales, jnp.float32).reshape(1, 4),
+    ]
+    specs = [
+        const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
+        const((d, d)), const((1, d)), const((1, d)),
+        const((d, mlp)), const((1, mlp)), const((1, mlp)),
+        const((mlp, d)), const((1, d)), const((1, d)),
+        const((1, 2, d)), const((1, 2, d)),
+        const((1, 4)),
+    ]
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_int8, heads=heads, scale=(d // heads) ** -0.5,
+            kv_valid=kv_valid, quick_gelu=quick_gelu, ln_eps=ln_eps,
+        ),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, d), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)] + specs,
+        out_specs=pl.BlockSpec((1, n, d), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (3 * d * d + d * d + 2 * d * mlp)
+            + 4 * b * heads * n * n * (d // heads),
+            bytes_accessed=2 * b * n * d * 2,
+            transcendentals=b * heads * n * n + b * n * mlp,
+        ),
+        interpret=interpret,
+    )(x, *args)

@@ -48,3 +48,55 @@ def test_fused_path_available_shapes():
     # ViT-H 1280 wide also fits
     vith = CLIP(get_model_config("ViT-H-14"))
     assert fused_path_available(vith)
+
+
+def test_fused_int8_parity_vs_static_quant_model():
+    """int8 fused path == composable QuantDense-static path (same math)."""
+    from clip_embeds_tpu.models.clip import CLIP
+    from clip_embeds_tpu.models.serving import (
+        fused_encode_image_int8,
+        prepare_int8_tower,
+    )
+
+    model, params = create_model("test-tiny", seed=1)
+    rng = np.random.default_rng(1)
+    calib = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    qtower = prepare_int8_tower(model, params, calib)
+
+    images = jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    )
+    got = fused_encode_image_int8(
+        model, params, qtower, images, dtype=jnp.float32, interpret=True
+    )
+    # fp reference: close in cosine (int8 quantization noise only)
+    want = model.apply(
+        {"params": params}, images, normalize=True, method="encode_image"
+    )
+    cos = float((np.asarray(got) * np.asarray(want)).sum(-1).mean())
+    assert cos > 0.99, cos
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(got), axis=-1), 1.0, rtol=1e-5
+    )
+
+
+def test_fused_encode_text_parity():
+    from clip_embeds_tpu.models.serving import fused_encode_text
+
+    model, params = create_model("test-tiny", seed=5)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(
+        np.concatenate([
+            np.full((3, 1), 300), rng.integers(1, 200, (3, 14)),
+            np.full((3, 1), 400),  # EOT = argmax pooling target
+        ], axis=1).astype(np.int32)
+    )
+    want = model.apply(
+        {"params": params}, ids, normalize=True, method="encode_text"
+    )
+    got = fused_encode_text(
+        model, params, ids, dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
