@@ -354,3 +354,21 @@ def convert_phi3v_image_embedding_state_dict(sd, prefix: str = "") -> dict:
         "proj_1": _linear(sd, "img_projection.0"),
         "proj_2": _linear(sd, "img_projection.2"),
     }
+
+
+def convert_phi3_v_state_dict(sd, cfg: "Phi3VConfig" = None) -> dict:
+    """Full HF Phi-3-V checkpoint -> Phi3V params: LM trunk via the packed
+    qkv/gate_up split (models/phi3.py) + the vision embedding subtree
+    (model.vision_embed_tokens.*)."""
+    from .phi3 import convert_phi3_state_dict
+
+    cfg = cfg or Phi3VConfig()
+    lm = convert_phi3_state_dict(
+        {k: v for k, v in sd.items()
+         if not k.startswith("model.vision_embed_tokens.")},
+        cfg.text,
+    )
+    vision = convert_phi3v_image_embedding_state_dict(
+        sd, prefix="model.vision_embed_tokens."
+    )
+    return {"language_model": lm, "vision_embed": vision}

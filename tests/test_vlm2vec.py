@@ -230,3 +230,29 @@ def test_mmeb_train_dataset_and_mixed_batches(tmp_path):
     # imageless rows: sentinel excluded from the real-token mask
     srow = np.argmax(b["qry_ids"][1] == -200)
     assert not b["qry_mask"][1, srow]
+
+
+def test_backbone_registry():
+    """vlm_dict.py-equivalent name->family->native stack resolution."""
+    import pytest as _pytest
+
+    from clip_embeds_tpu.models.backbones import (
+        HF_MODEL_TO_VLM_BACKBONE,
+        get_backbone,
+    )
+
+    assert HF_MODEL_TO_VLM_BACKBONE["TIGER-Lab/VLM2Vec-Full"] == "phi3_v"
+    for fam, cls_name in [
+        ("llava_15", "Llava"), ("llava_next", "LlavaNext"),
+        ("phi3_v", "Phi3V"), ("qwen2_vl", "Qwen2VL"),
+        ("qwen2_5_vl", "Qwen25VL"),
+    ]:
+        b = get_backbone(fam)
+        assert b.model_cls.__name__ == cls_name
+        assert callable(b.converter) and callable(b.config_factory)
+    # HF names resolve through the family table
+    assert get_backbone(
+        "llava-hf/llava-v1.6-mistral-7b-hf"
+    ).model_cls.__name__ == "LlavaNext"
+    with _pytest.raises(KeyError):
+        get_backbone("not-a-backbone")
