@@ -18,7 +18,7 @@ import logging
 def parse_args(argv=None):
     p = argparse.ArgumentParser("clip_embeds_tpu eval")
     p.add_argument("--scorer", default="clip",
-                   choices=["clip", "pacl", "sparc", "embedding"])
+                   choices=["clip", "siglip", "pacl", "sparc", "embedding"])
     p.add_argument("--model", default="ViT-L-14-336")
     p.add_argument("--pretrained", default=None)
     p.add_argument("--model-path", default=None,
@@ -42,6 +42,41 @@ def build_scorer(args):
     from ..scores.scorers import CLIPScorer, PACLScorer, SPARCScorer
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    if args.scorer == "siglip":
+        # SigLIP family resolves through the data registry, not MODEL_CONFIGS
+        import jax
+
+        from ..core.openclip_registry import resolve_siglip_config
+        from ..models.siglip import Siglip, convert_siglip_state_dict
+        from ..scores.scorers import SiglipScorer
+
+        cfg = resolve_siglip_config(args.model)
+        smodel = Siglip(cfg, dtype=dtype)
+        if args.pretrained:
+            import torch
+
+            sparams = convert_siglip_state_dict(
+                torch.load(args.pretrained, map_location="cpu",
+                           weights_only=True)
+            )
+        else:
+            sparams = smodel.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size,
+                           3)),
+                jnp.zeros((1, cfg.text.max_position_embeddings), jnp.int32),
+            )["params"]
+        try:
+            from ..text.tokenizer import SigLipTokenizer
+
+            tokenize = SigLipTokenizer()
+        except Exception:
+            raise SystemExit(
+                "SigLIP tokenizer needs sentencepiece; pass texts through "
+                "scores.scorers.SiglipScorer with an injected tokenizer"
+            )
+        return SiglipScorer(smodel, sparams, tokenize,
+                            batch_size=args.batch_size)
     model, params = create_model(args.model, args.pretrained, dtype=dtype)
     if args.scorer == "clip":
         return CLIPScorer(model, params, batch_size=args.batch_size)

@@ -89,6 +89,14 @@ def preprocess_pacl(image: ImageLike, image_size: int = 336) -> np.ndarray:
     return _normalize(np.asarray(img), IMAGENET_MEAN, IMAGENET_STD)
 
 
+def preprocess_siglip(image: ImageLike, image_size: int = 384) -> np.ndarray:
+    """SigLIP transform: squash resize, inception (0.5) stats
+    (reference pretrained.py _slpcfg: resize_mode='squash')."""
+    img = _to_pil(image)
+    img = img.resize((image_size, image_size), Image.BICUBIC)
+    return _normalize(np.asarray(img), (0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+
+
 def preprocess_batch(
     images: Sequence[ImageLike],
     image_size: int = 336,
@@ -98,6 +106,7 @@ def preprocess_batch(
         "clip": preprocess_clip,
         "pacl": preprocess_pacl,
         "llava": preprocess_llava,
+        "siglip": preprocess_siglip,
     }[variant]
     return np.stack([fn(im, image_size) for im in images])
 

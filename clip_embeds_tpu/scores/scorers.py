@@ -286,3 +286,92 @@ class SPARCScorer:
         logits = np.stack(rows)
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)
+
+
+class SiglipScorer:
+    """SigLIP dual-encoder scorer (sigmoid-loss scoring semantics).
+
+    Reference: VLM2Vec/evaluation/eval_siglip.py runs
+    google/siglip-so400m-patch14-384 through the MMEB cosine protocol; the
+    SigLIP pairing score itself is sigmoid(logit_scale*cos + logit_bias)
+    (models/siglip.py). The SigLIP sentencepiece tokenizer is unavailable in
+    this image, so a ``tokenize`` callable (texts -> int [B, 64] ids) must be
+    injected — e.g. HF AutoTokenizer when network/vocab files are present.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        tokenize,
+        batch_size: int = 64,
+        dtype=jnp.float32,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenize = tokenize
+        self.batch_size = batch_size
+        self.image_size = model.cfg.vision.image_size
+
+        @jax.jit
+        def _encode_images(images):
+            return model.apply(
+                {"params": self.params}, images, method="encode_image"
+            )
+
+        @jax.jit
+        def _encode_texts(ids):
+            return model.apply(
+                {"params": self.params}, ids, method="encode_text"
+            )
+
+        self._encode_images = _encode_images
+        self._encode_texts = _encode_texts
+        self._scale = float(np.exp(np.asarray(params["logit_scale"])))
+        self._bias = float(np.asarray(params["logit_bias"]))
+
+    def encode_images(self, images: Sequence[ImageLike]) -> np.ndarray:
+        pixels = preprocess_batch(images, self.image_size, "siglip")
+        return _batched(self._encode_images, pixels, self.batch_size)
+
+    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        ids = np.asarray(self.tokenize(list(texts)))
+        return _batched(self._encode_texts, ids, self.batch_size)
+
+    def sigmoid_scores(
+        self, images: Sequence[ImageLike], texts: Sequence[str]
+    ) -> np.ndarray:
+        """m x n pairing probabilities sigmoid(scale*cos + bias)."""
+        sims = self.encode_images(images) @ self.encode_texts(texts).T
+        z = self._scale * sims + self._bias
+        return 1.0 / (1.0 + np.exp(-z))
+
+    def score_batch(
+        self, samples: Sequence[Tuple[ImageLike, List[str]]]
+    ) -> List[np.ndarray]:
+        """Per-sample softmax over option cosines (driver protocol)."""
+        images = [s[0] for s in samples]
+        img_feats = self.encode_images(images)
+        all_texts: List[str] = []
+        offsets = [0]
+        for _, options in samples:
+            all_texts.extend(options)
+            offsets.append(offsets[-1] + len(options))
+        txt_feats = self.encode_texts(all_texts)
+        out = []
+        for i in range(len(samples)):
+            tf = txt_feats[offsets[i]:offsets[i + 1]]
+            logits = self._scale * img_feats[i] @ tf.T + self._bias
+            e = np.exp(logits - logits.max())
+            out.append(e / e.sum())
+        return out
+
+    def pair_score(
+        self, images: Sequence[str], texts: Sequence[str]
+    ) -> np.ndarray:
+        """t2i softmax over images per text (MMVP-VLM protocol)."""
+        img = self.encode_images(images)
+        txt = self.encode_texts(texts)
+        logits = self._scale * txt @ img.T + self._bias
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)

@@ -104,3 +104,56 @@ def test_siglip_with_sigmoid_loss(hf_model):
         jnp.log(out["logit_scale"]), out["logit_bias"],
     )
     assert np.isfinite(float(loss))
+
+
+def test_siglip_scorer_protocols():
+    """SiglipScorer: sigmoid pairing + driver softmax protocols on a tiny
+    model with an injected stub tokenizer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from clip_embeds_tpu.models.siglip import (
+        Siglip,
+        SiglipConfig,
+        SiglipTextConfig,
+        SiglipVisionConfig,
+    )
+    from clip_embeds_tpu.scores.scorers import SiglipScorer
+
+    cfg = SiglipConfig(
+        vision=SiglipVisionConfig(image_size=28, patch_size=14, width=32,
+                                  layers=1, heads=2, intermediate_size=64),
+        text=SiglipTextConfig(vocab_size=64, width=32, layers=1, heads=2,
+                              intermediate_size=64,
+                              max_position_embeddings=8),
+    )
+    model = Siglip(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 3)),
+        jnp.zeros((1, 8), jnp.int32),
+    )["params"]
+
+    def tokenize(texts):
+        out = np.ones((len(texts), 8), np.int32)
+        for i, t in enumerate(texts):
+            for j, ch in enumerate(t[:8]):
+                out[i, j] = ord(ch) % 64
+        return out
+
+    scorer = SiglipScorer(model, params, tokenize, batch_size=2)
+    rng = np.random.default_rng(0)
+    imgs = [Image.fromarray(rng.integers(0, 255, (30, 40, 3), dtype=np.uint8))
+            for _ in range(3)]
+
+    probs = scorer.sigmoid_scores(imgs, ["a cat", "a dog"])
+    assert probs.shape == (3, 2) and ((probs > 0) & (probs < 1)).all()
+
+    batch = scorer.score_batch([(imgs[0], ["a", "b"]), (imgs[1], ["c", "d"])])
+    assert len(batch) == 2
+    np.testing.assert_allclose(batch[0].sum(), 1.0, rtol=1e-5)
+
+    pair = scorer.pair_score([imgs[0], imgs[1]], ["left", "right"])
+    assert pair.shape == (2, 2)
+    np.testing.assert_allclose(pair.sum(axis=1), 1.0, rtol=1e-5)
