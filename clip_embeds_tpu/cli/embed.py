@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import concurrent.futures as cf
+import functools
 import json
 import os
 import sys
@@ -90,6 +91,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--int8", action="store_true",
                     help="int8 W8A8 serving path (models/quant.py)")
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 8)
+    ap.add_argument("--data-parallel", action="store_true", default=None,
+                    help="shard batches over all devices (default: auto "
+                    "when more than one device is visible)")
+    ap.add_argument("--no-data-parallel", dest="data_parallel",
+                    action="store_false")
     args = ap.parse_args(argv)
 
     import jax
@@ -104,12 +110,38 @@ def main(argv: Optional[List[str]] = None) -> int:
     size = model.cfg.vision.image_size
     calibrated = {"done": not args.int8}
 
-    @jax.jit
-    def embed(params, pixels):
-        return model.apply(
-            {"params": params}, pixels.astype(dtype), normalize=True,
-            method="encode_image",
-        )
+    # data-parallel serving: replicate params, shard the batch axis over the
+    # device mesh — XLA keeps every chip busy and the host sees one array
+    n_dev = len(jax.devices())
+    use_dp = (args.data_parallel if args.data_parallel is not None
+              else n_dev > 1)
+    if use_dp and args.batch_size % n_dev != 0:
+        args.batch_size = max(n_dev, args.batch_size // n_dev * n_dev)
+        print(f"batch size rounded to {args.batch_size} "
+              f"({n_dev}-device data parallel)", file=sys.stderr)
+
+    if use_dp and n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        batch_sharding = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+
+        def jit_embed(fn):
+            # (params, pixels) -> embeddings: params replicated, batch sharded
+            return jax.jit(
+                fn,
+                in_shardings=(replicated, batch_sharding),
+                out_shardings=batch_sharding,
+            )
+    else:
+        def jit_embed(fn):
+            return jax.jit(fn)
+
+    embed = jit_embed(lambda params, pixels: model.apply(
+        {"params": params}, pixels.astype(dtype), normalize=True,
+        method="encode_image",
+    ))
 
     def maybe_calibrate_int8(first_batch: np.ndarray):
         """Swap in the W8A8 serving model, calibrated on the first real
@@ -130,7 +162,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             ))
             params = jax.device_put(params)
             m = model
-            embed = jax.jit(lambda p, px, q=qtower: fused_encode_image_int8(
+            embed = jit_embed(lambda p, px, q=qtower: fused_encode_image_int8(
                 m, p, q, px.astype(dtype), normalize=True,
             ))
         else:
@@ -149,7 +181,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             model = CLIP(model.cfg, dtype=dtype, quant="static")
             params = jax.device_put(sparams)
-            embed = jax.jit(lambda p, px: model.apply(
+            embed = jit_embed(lambda p, px: model.apply(
                 {"params": p}, px.astype(dtype), normalize=True,
                 method="encode_image",
             ))

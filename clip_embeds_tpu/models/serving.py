@@ -94,7 +94,12 @@ def fused_path_available(model) -> bool:
     if cfg.tower != "vit":
         return False
     n = _round_up(cfg.num_patches + 1, 128)
-    return fused_block_supported(n, cfg.width, cfg.heads, cfg.mlp_ratio)
+    if not fused_block_supported(n, cfg.width, cfg.heads, cfg.mlp_ratio):
+        return False
+    t = model.cfg.text
+    return fused_block_supported(
+        _round_up(t.context_length, 128), t.width, t.heads, t.mlp_ratio
+    )
 
 
 def _ln_affine(x, scale, bias, eps: float = 1e-5):

@@ -38,7 +38,9 @@ class EmbeddingScorer:
         query_template: str = DEFAULT_QUERY_TEMPLATE,
     ):
         self.model = model
-        self.params = params
+        # commit params to device once — host arrays would re-upload
+        # on every jit call (catastrophic over a remote-TPU tunnel)
+        self.params = jax.device_put(params)
         self.tokenize = tokenize
         self.bos_token_id = bos_token_id
         self.pad_token_id = pad_token_id

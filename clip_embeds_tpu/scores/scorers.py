@@ -55,28 +55,63 @@ class CLIPScorer:
         dtype=jnp.float32,
     ):
         self.model = model
-        self.params = params
+        # commit params to device once — host arrays would re-upload
+        # on every jit call (catastrophic over a remote-TPU tunnel)
+        self.params = jax.device_put(params)
         self.batch_size = batch_size
         self.image_size = model.cfg.vision.image_size
         self.preprocess_variant = preprocess_variant
         self.tokenizer = get_tokenizer(model.cfg.text.context_length)
 
-        @jax.jit
-        def _encode_images(images):
-            return model.apply(
-                {"params": self.params}, images, normalize=True,
-                method="encode_image",
+        # on TPU, ViT-class towers route through the fused-block serving
+        # kernels (models/serving.py: 342 vs 230 img/s/chip on ViT-L/v5e)
+        use_fused = False
+        try:
+            from ..models.serving import (
+                fused_encode_image,
+                fused_encode_text,
+                fused_path_available,
             )
 
-        @jax.jit
-        def _encode_texts(texts):
-            return model.apply(
-                {"params": self.params}, texts, normalize=True,
-                method="encode_text",
+            use_fused = (
+                jax.default_backend() == "tpu" and fused_path_available(model)
             )
+        except Exception:
+            pass
 
-        self._encode_images = _encode_images
-        self._encode_texts = _encode_texts
+        # params flow as jit ARGUMENTS (closing over them would inline
+        # gigabytes of weights as HLO constants — hangs remote compiles)
+        if use_fused:
+            fdtype = getattr(model, "dtype", dtype)
+
+            @jax.jit
+            def _encode_images(params, images):
+                return fused_encode_image(
+                    model, params, images, normalize=True, dtype=fdtype
+                )
+
+            @jax.jit
+            def _encode_texts(params, texts):
+                return fused_encode_text(
+                    model, params, texts, normalize=True, dtype=fdtype
+                )
+        else:
+            @jax.jit
+            def _encode_images(params, images):
+                return model.apply(
+                    {"params": params}, images, normalize=True,
+                    method="encode_image",
+                )
+
+            @jax.jit
+            def _encode_texts(params, texts):
+                return model.apply(
+                    {"params": params}, texts, normalize=True,
+                    method="encode_text",
+                )
+
+        self._encode_images = lambda x: _encode_images(self.params, x)
+        self._encode_texts = lambda x: _encode_texts(self.params, x)
 
     def encode_images(self, images: Sequence[ImageLike]) -> np.ndarray:
         pixels = preprocess_batch(images, self.image_size, self.preprocess_variant)
@@ -136,9 +171,9 @@ class PACLScorer:
         text_encoder: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
     ):
         self.clip_model = clip_model
-        self.clip_params = clip_params
+        self.clip_params = jax.device_put(clip_params)
         self.head = head_model
-        self.head_params = head_params
+        self.head_params = jax.device_put(head_params)
         self.batch_size = batch_size
         self.image_size = clip_model.cfg.vision.image_size
         self.preprocess_variant = preprocess_variant
@@ -147,28 +182,26 @@ class PACLScorer:
         self.per_pair = head_model.rope == "after" or head_model.pooling == "weighted"
 
         @jax.jit
-        def _patches(images):
-            _, tokens = self.clip_model.apply(
-                {"params": self.clip_params}, images, output_tokens=True,
+        def _patches(params, images):
+            _, tokens = clip_model.apply(
+                {"params": params}, images, output_tokens=True,
                 method="encode_image",
             )
             return tokens
 
         @jax.jit
-        def _text_cls(texts):
-            return self.clip_model.apply(
-                {"params": self.clip_params}, texts, method="encode_text"
+        def _text_cls(params, texts):
+            return clip_model.apply(
+                {"params": params}, texts, method="encode_text"
             )
 
         @jax.jit
-        def _head(patches, text_emb):
-            return self.head.apply(
-                {"params": self.head_params}, patches, text_emb
-            )
+        def _head(params, patches, text_emb):
+            return head_model.apply({"params": params}, patches, text_emb)
 
-        self._patches = _patches
-        self._text_cls = _text_cls
-        self._head = _head
+        self._patches = lambda x: _patches(self.clip_params, x)
+        self._text_cls = lambda x: _text_cls(self.clip_params, x)
+        self._head = lambda a, b: _head(self.head_params, a, b)
 
     def _image_patches(self, images: Sequence[ImageLike]) -> np.ndarray:
         pixels = preprocess_batch(images, self.image_size, self.preprocess_variant)
@@ -226,9 +259,9 @@ class SPARCScorer:
         from ..losses.sparc import sparc_group_patches
 
         self.clip_model = clip_model
-        self.clip_params = clip_params
+        self.clip_params = jax.device_put(clip_params)
         self.head = head_model
-        self.head_params = head_params
+        self.head_params = jax.device_put(head_params)
         self.batch_size = batch_size
         self.local = local
         self.image_size = clip_model.cfg.vision.image_size
@@ -238,17 +271,17 @@ class SPARCScorer:
         self.sigma = sigma if sigma is not None else 1.0 / num_patches
 
         @jax.jit
-        def _score(images, texts):
-            _, patches = self.clip_model.apply(
-                {"params": self.clip_params}, images, output_tokens=True,
+        def _score(clip_params, head_params, images, texts):
+            _, patches = clip_model.apply(
+                {"params": clip_params}, images, output_tokens=True,
                 method="encode_image",
             )
-            _, text_tokens = self.clip_model.apply(
-                {"params": self.clip_params}, texts, output_tokens=True,
+            _, text_tokens = clip_model.apply(
+                {"params": clip_params}, texts, output_tokens=True,
                 method="encode_text",
             )
-            v, t = self.head.apply(
-                {"params": self.head_params}, patches, text_tokens
+            v, t = head_model.apply(
+                {"params": head_params}, patches, text_tokens
             )
             global_txt = l2_normalize(t.mean(axis=1))
             if self.local:
@@ -258,7 +291,9 @@ class SPARCScorer:
                 img = l2_normalize(v.mean(axis=1))
             return img @ global_txt.T
 
-        self._score = _score
+        self._score = lambda a, b: _score(
+            self.clip_params, self.head_params, a, b
+        )
 
     def score_batch(
         self, samples: Sequence[Tuple[ImageLike, List[str]]]
@@ -308,25 +343,27 @@ class SiglipScorer:
         dtype=jnp.float32,
     ):
         self.model = model
-        self.params = params
+        # commit params to device once — host arrays would re-upload
+        # on every jit call (catastrophic over a remote-TPU tunnel)
+        self.params = jax.device_put(params)
         self.tokenize = tokenize
         self.batch_size = batch_size
         self.image_size = model.cfg.vision.image_size
 
         @jax.jit
-        def _encode_images(images):
+        def _encode_images(params, images):
             return model.apply(
-                {"params": self.params}, images, method="encode_image"
+                {"params": params}, images, method="encode_image"
             )
 
         @jax.jit
-        def _encode_texts(ids):
+        def _encode_texts(params, ids):
             return model.apply(
-                {"params": self.params}, ids, method="encode_text"
+                {"params": params}, ids, method="encode_text"
             )
 
-        self._encode_images = _encode_images
-        self._encode_texts = _encode_texts
+        self._encode_images = lambda x: _encode_images(self.params, x)
+        self._encode_texts = lambda x: _encode_texts(self.params, x)
         self._scale = float(np.exp(np.asarray(params["logit_scale"])))
         self._bias = float(np.asarray(params["logit_bias"]))
 

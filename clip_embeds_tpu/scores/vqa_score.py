@@ -104,7 +104,9 @@ class VQAScorer:
         pad_to_multiple: int = 64,
     ):
         self.model = model
-        self.params = params
+        # commit params to device once — host arrays would re-upload
+        # on every jit call (catastrophic over a remote-TPU tunnel)
+        self.params = jax.device_put(params)
         self.tokenize = tokenize
         self.bos_token_id = bos_token_id
         self.pad_token_id = pad_token_id
@@ -227,7 +229,9 @@ class InstructBlipVQAScorer:
         pad_to_multiple: int = 32,
     ):
         self.model = model
-        self.params = params
+        # commit params to device once — host arrays would re-upload
+        # on every jit call (catastrophic over a remote-TPU tunnel)
+        self.params = jax.device_put(params)
         self.qformer_tokenize = qformer_tokenize
         self.t5_tokenize = t5_tokenize
         self.qformer_pad_id = qformer_pad_id
@@ -357,7 +361,9 @@ class T5VQAScorer:
         pad_to_multiple: int = 64,
     ):
         self.model = model
-        self.params = params
+        # commit params to device once — host arrays would re-upload
+        # on every jit call (catastrophic over a remote-TPU tunnel)
+        self.params = jax.device_put(params)
         self.tokenize = tokenize
         self.pad_token_id = pad_token_id
         self.style = conversation_style

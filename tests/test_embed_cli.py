@@ -64,3 +64,26 @@ def test_embed_cli_int8_close_to_fp(tmp_path):
     a, b = np.load(out_fp), np.load(out_q)
     cos = (a * b).sum(-1).mean()
     assert cos > 0.99, cos
+
+
+def test_embed_cli_data_parallel_matches_single_device(tmp_path):
+    """8-virtual-device sharded serving == single-device results."""
+    import jax
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+    _mk_images(tmp_path, n=9)
+    out_dp = tmp_path / "dp.npy"
+    out_sd = tmp_path / "sd.npy"
+    assert main([
+        "--model", "test-tiny", "--input", str(tmp_path),
+        "--output", str(out_dp), "--batch-size", "8", "--fp32",
+        "--data-parallel",
+    ]) == 0
+    assert main([
+        "--model", "test-tiny", "--input", str(tmp_path),
+        "--output", str(out_sd), "--batch-size", "8", "--fp32",
+        "--no-data-parallel",
+    ]) == 0
+    np.testing.assert_allclose(
+        np.load(out_dp), np.load(out_sd), rtol=1e-5, atol=1e-6
+    )
