@@ -160,10 +160,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             qtower = jax.device_put(prepare_int8_tower(
                 model, jax.device_get(params), jnp.asarray(first_batch)
             ))
-            params = jax.device_put(params)
             m = model
-            embed = jit_embed(lambda p, px, q=qtower: fused_encode_image_int8(
-                m, p, q, px.astype(dtype), normalize=True,
+            # ship the fp tree + quantized tower as ONE params argument —
+            # closing over qtower would inline it as HLO constants
+            params = jax.device_put(
+                {"fp": jax.device_get(params), "q": jax.device_get(qtower)}
+            )
+            embed = jit_embed(lambda p, px: fused_encode_image_int8(
+                m, p["fp"], p["q"], px.astype(dtype), normalize=True,
             ))
         else:
             from ..models.clip import CLIP
