@@ -76,3 +76,15 @@ def zero_shot_eval(
     return zero_shot_accuracy(
         np.concatenate(logits), np.asarray(targets), topk=(1, 5)
     )
+
+
+def load_imagenet_metadata() -> Dict[str, Sequence[str]]:
+    """The 1000 ImageNet classnames + OpenAI's 80 prompt templates
+    (reference zero_shot_metadata.py, shipped as data; templates are
+    '{c}'-style format strings accepted by build_zero_shot_classifier)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "zero_shot_metadata.json")
+    with open(path) as fh:
+        return json.load(fh)

@@ -190,8 +190,128 @@ def bench():
     print(f"megablock: {per*1000/L:.2f} ms/layer")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--phased" not in sys.argv:
     if "--bench" in sys.argv:
         bench()
     else:
         check()
+
+
+def _block_kernel_phased(
+    x_ref, wqkv_ref, wo_ref, w1_ref, w2_ref, g1_ref, g2_ref, o_ref,
+    *, scale, kv_valid,
+):
+    """Attention in three phases: all QK dots -> all softmax -> all PV."""
+    x = x_ref[0]
+    h = _ln_f32(x, g1_ref[0]).astype(x.dtype)
+    qkv = jax.lax.dot_general(
+        h, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+    d = x.shape[-1]
+    n = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    kv_bias = jnp.where(col < kv_valid, 0.0, NEG_INF)
+
+    logits = []
+    for g in range(H):
+        q = qkv[:, g * HD:(g + 1) * HD]
+        k = qkv[:, d + g * HD:d + (g + 1) * HD]
+        logits.append(jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + kv_bias)
+    probs = []
+    for g in range(H):
+        s = logits[g]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        probs.append((p / jnp.sum(p, axis=-1, keepdims=True)).astype(x.dtype))
+    outs = []
+    for g in range(H):
+        v = qkv[:, 2 * d + g * HD:2 * d + (g + 1) * HD]
+        outs.append(jax.lax.dot_general(
+            probs[g], v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype))
+    att = jnp.concatenate(outs, axis=-1)
+
+    x = x + jax.lax.dot_general(
+        att, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    hh = _ln_f32(x, g2_ref[0])
+    m1 = jax.lax.dot_general(
+        hh.astype(x.dtype), w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m1 = (m1 * jax.nn.sigmoid(1.702 * m1)).astype(x.dtype)
+    x = x + jax.lax.dot_general(
+        m1, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    o_ref[0] = x
+
+
+def fused_block_phased(x, p, kv_valid=KV_VALID, vmem_mb=110):
+    b, n, d = x.shape
+
+    def const(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_block_kernel_phased, scale=HD**-0.5,
+                          kv_valid=kv_valid),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((d, 3 * d)), const((d, d)), const((d, MLP)),
+            const((MLP, d)), const((1, d)), const((1, d)),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (12 * d * d + 2 * n * d),
+            bytes_accessed=2 * b * n * d * x.dtype.itemsize,
+            transcendentals=b * H * n * n,
+        ),
+    )(x, p["wqkv"], p["wo"], p["w1"], p["w2"],
+      p["g1"].reshape(1, -1), p["g2"].reshape(1, -1))
+
+
+def bench_phased():
+    params = make_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, N, D), jnp.bfloat16)
+
+    def model(params, x):
+        for p in params:
+            x = fused_block_phased(x, p)
+        return x
+
+    @functools.partial(jax.jit, static_argnames="iters")
+    def loop(params, x, iters):
+        def body(_, salt):
+            out = model(params, x + salt.astype(x.dtype))
+            return out[0, 0, 0].astype(jnp.float32) * 1e-6
+        return jax.lax.fori_loop(0, iters, body, jnp.asarray(1e-6))
+
+    iters = 12
+    float(loop(params, x, 1)); float(loop(params, x, iters))
+    t0 = time.perf_counter(); float(loop(params, x, 1))
+    ts = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(loop(params, x, iters))
+    tl = time.perf_counter() - t0
+    per = (tl - ts) / (iters - 1)
+    print(f"megablock_phased: {per*1000/L:.2f} ms/layer")
+
+
+if __name__ == "__main__" and "--phased" in sys.argv:
+    bench_phased()

@@ -321,3 +321,29 @@ def test_frame_averaged_and_ranking(tmp_path):
     m2 = ds2.evaluate_scores(ours)
     assert m2["ranking_accuracy"] == 1.0
     assert abs(m2["pearson"] - 1.0) < 1e-9
+
+
+def test_imagenet_zero_shot_metadata():
+    from clip_embeds_tpu.evals.zero_shot import (
+        build_zero_shot_classifier,
+        load_imagenet_metadata,
+    )
+
+    meta = load_imagenet_metadata()
+    assert len(meta["IMAGENET_CLASSNAMES"]) == 1000
+    assert len(meta["OPENAI_IMAGENET_TEMPLATES"]) == 80
+    assert meta["IMAGENET_CLASSNAMES"][0] == "tench"
+    assert "{c}" in meta["OPENAI_IMAGENET_TEMPLATES"][0]
+
+    # the string templates drive the classifier builder directly
+    def fake_encode(prompts):
+        rng = np.random.default_rng(len(prompts))
+        e = rng.standard_normal((len(prompts), 8))
+        return e / np.linalg.norm(e, axis=-1, keepdims=True)
+
+    clf = build_zero_shot_classifier(
+        fake_encode, meta["IMAGENET_CLASSNAMES"][:5],
+        meta["OPENAI_IMAGENET_TEMPLATES"][:4],
+    )
+    assert clf.shape == (8, 5)
+    np.testing.assert_allclose(np.linalg.norm(clf, axis=0), 1.0, rtol=1e-6)
