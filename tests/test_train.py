@@ -205,3 +205,38 @@ def test_vlm2vec_argument_dataclasses():
     assert targs.bf16 is False
     assert targs.gc_p_chunk_size == 2  # default preserved
     assert mteb.tasks is None
+
+
+def test_model_bundle_roundtrip(tmp_path):
+    """save_model_bundle / load_model_bundle (push_to_hf_hub layout)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_embeds_tpu.core.export import (
+        load_model_bundle,
+        save_model_bundle,
+    )
+    from clip_embeds_tpu.core.factory import create_model
+
+    model, params = create_model("test-tiny", seed=7)
+    folder = save_model_bundle(
+        str(tmp_path / "bundle"), model, params,
+        model_name="ViT-L-14-336", pretrained_tag="openai",
+    )
+    import json
+    import os
+
+    cfg = json.load(open(os.path.join(folder, "open_clip_config.json")))
+    assert cfg["preprocess_cfg"]["mean"] == [0.48145466, 0.4578275,
+                                             0.40821073]
+    m2, p2 = load_model_bundle(folder)
+    assert m2.cfg == model.cfg
+    imgs = jnp.zeros((1, 32, 32, 3))
+    txts = jnp.zeros((1, 16), jnp.int32)
+    a = model.apply({"params": params}, imgs, txts)
+    b = m2.apply({"params": p2}, imgs, txts)
+    np.testing.assert_allclose(
+        np.asarray(a["image_features"]), np.asarray(b["image_features"]),
+        rtol=1e-6,
+    )
