@@ -18,15 +18,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import MODEL_AXIS
 
 
+_COLUMN_PARALLEL = (
+    # CLIP blocks
+    "attn/in_proj/kernel", "mlp/c_fc/kernel",
+    # Llama/LLaVA trunk (SURVEY §7 stage 6: TP for the 7B decoder on v5e-8)
+    "self_attn/q_proj/kernel", "self_attn/k_proj/kernel",
+    "self_attn/v_proj/kernel",
+    "mlp/gate_proj/kernel", "mlp/up_proj/kernel",
+    "lm_head/kernel",
+)
+_COLUMN_PARALLEL_BIAS = (
+    "attn/in_proj/bias",
+    "mlp/c_fc/bias",
+    "self_attn/q_proj/bias", "self_attn/k_proj/bias",
+    "self_attn/v_proj/bias",
+)
+_ROW_PARALLEL = (
+    "attn/out_proj/kernel", "mlp/c_proj/kernel",
+    "self_attn/o_proj/kernel", "mlp/down_proj/kernel",
+)
+
+
 def _spec_for_path(path: tuple) -> P:
     keys = [getattr(p, "key", str(p)) for p in path]
     joined = "/".join(keys)
-    if joined.endswith("attn/in_proj/kernel") or joined.endswith("mlp/c_fc/kernel"):
+    if joined.endswith(_COLUMN_PARALLEL):
         return P(None, MODEL_AXIS)  # column parallel
-    if joined.endswith("attn/in_proj/bias") or joined.endswith("mlp/c_fc/bias"):
+    if joined.endswith(_COLUMN_PARALLEL_BIAS):
         return P(MODEL_AXIS)
-    if joined.endswith("attn/out_proj/kernel") or joined.endswith("mlp/c_proj/kernel"):
-        return P(MODEL_AXIS, None)  # row parallel
+    if joined.endswith(_ROW_PARALLEL):
+        return P(MODEL_AXIS, None)  # row parallel (one all-reduce per block)
     if joined.endswith("token_embedding/embedding"):
         return P(None, None)
     return P()  # replicate
@@ -39,10 +60,24 @@ def clip_param_specs(params: Any) -> Any:
     )
 
 
+def _fits(leaf: Any, spec: P, mesh: Mesh) -> bool:
+    """A spec applies only if every sharded dim divides its axis size
+    (e.g. GQA kv projections may be narrower than the model axis)."""
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        if leaf.ndim <= dim or leaf.shape[dim] % mesh.shape[axis] != 0:
+            return False
+    return True
+
+
 def shard_params(mesh: Mesh, params: Any) -> Any:
     specs = clip_param_specs(params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, s if _fits(x, s, mesh) else P())
+        ),
+        params, specs,
     )
 
 
