@@ -256,3 +256,37 @@ def test_backbone_registry():
     ).model_cls.__name__ == "LlavaNext"
     with _pytest.raises(KeyError):
         get_backbone("not-a-backbone")
+
+
+def test_vlm2vec_step_on_mesh_matches_single_device():
+    """SURVEY §7 stage 6/7 multi-chip shape: frozen LLaVA trunk TP-sharded
+    over 'model', batch over 'data', LoRA adapters replicated — the train
+    step produces the same loss as the unsharded run (global-batch
+    negatives through XLA-inserted collectives)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from clip_embeds_tpu.parallel.sharding_rules import shard_params
+
+    model, base_params = tiny_llava()
+    lora = init_lora(base_params, rank=2, rng=jax.random.PRNGKey(1))
+    batch = _batch(n=4)
+    step = make_vlm2vec_train_step(model, base_params)
+    s0 = TrainState.create(lora, adamw(0.0, weight_decay=0.0))
+    _, m_ref = step(s0, batch)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "model"))
+    sharded_base = shard_params(mesh, base_params)
+    step_sharded = make_vlm2vec_train_step(model, sharded_base)
+    batch_sharded = {
+        k: jax.device_put(v, NamedSharding(mesh, P("data")))
+        for k, v in batch.items()
+    }
+    s1 = TrainState.create(
+        jax.device_put(lora, NamedSharding(mesh, P())),
+        adamw(0.0, weight_decay=0.0),
+    )
+    with mesh:
+        _, m_mesh = jax.jit(step_sharded)(s1, batch_sharded)
+    np.testing.assert_allclose(
+        float(m_mesh["loss"]), float(m_ref["loss"]), rtol=2e-5
+    )
