@@ -347,3 +347,46 @@ def test_imagenet_zero_shot_metadata():
     )
     assert clf.shape == (8, 5)
     np.testing.assert_allclose(np.linalg.norm(clf, axis=0), 1.0, rtol=1e-6)
+
+
+def test_t2v_eval_cli_end_to_end(tmp_path):
+    """cli/t2v_eval: CLIPScore over winoground + sugarcrepe fixtures."""
+    import json as _json
+
+    from clip_embeds_tpu.cli.t2v_eval import main
+    from clip_embeds_tpu.evals.benchmarks import BENCHMARKS, get_benchmark
+
+    # every dataset class is CLI-addressable
+    assert len(BENCHMARKS) == 15
+
+    os.makedirs(tmp_path / "images")
+    rows = []
+    for i in range(2):
+        _img(tmp_path, f"images/ex_{i}_img_0.png", i)
+        _img(tmp_path, f"images/ex_{i}_img_1.png", i + 50)
+        rows.append({
+            "image_0": f"ex_{i}_img_0", "image_1": f"ex_{i}_img_1",
+            "caption_0": f"caption zero {i}", "caption_1": f"caption one {i}",
+        })
+    (tmp_path / "examples.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows)
+    )
+    data = {}
+    for i in range(2):
+        _img(tmp_path, f"images/{i}.jpg", i)
+        data[str(i)] = {"filename": f"{i}.jpg", "caption": f"real {i}",
+                        "negative_caption": f"fake {i}"}
+    (tmp_path / "swap_obj.json").write_text(json.dumps(data))
+
+    out = tmp_path / "results.json"
+    rc = main([
+        "--model", "test-tiny", "--root_dir", str(tmp_path),
+        "--datasets", "winoground", "sugarcrepe", "tifa160_dsg",
+        "--precision", "fp32", "--batch_size", "4",
+        "--output", str(out),
+    ])
+    assert rc == 0
+    results = _json.load(open(out))
+    # tifa160 data missing -> skipped; the other two produced metrics
+    assert set(results) == {"winoground", "sugarcrepe"}
+    assert "group" in results["winoground"]
