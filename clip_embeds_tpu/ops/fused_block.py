@@ -27,7 +27,7 @@ tests for bit-level checking).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
