@@ -48,6 +48,14 @@ HF_TEXT_SHAPES: Dict[str, Dict[str, Any]] = {
         kind="t5", vocab_size=250112, d_model=2048, d_kv=64, d_ff=5120,
         num_layers=24, num_heads=32,
     ),
+    "facebook/nllb-200-distilled-600M": dict(
+        kind="m2m100", vocab_size=256206, d_model=1024, num_layers=12,
+        num_heads=16, ffn_dim=4096,
+    ),
+    "facebook/nllb-200-distilled-1.3B": dict(
+        kind="m2m100", vocab_size=256206, d_model=2048, num_layers=24,
+        num_heads=16, ffn_dim=8192,
+    ),
 }
 
 
@@ -78,6 +86,13 @@ class CustomTextCLIP(nn.Module):
         if kind == "t5":
             self.text = T5TextTower(
                 T5Config(**shape), cfg.embed_dim, pooler=cfg.pooler,
+                dtype=self.dtype,
+            )
+        elif kind == "m2m100":
+            from .hf_text import M2M100Config, M2M100TextTower
+
+            self.text = M2M100TextTower(
+                M2M100Config(**shape), cfg.embed_dim, pooler=cfg.pooler,
                 dtype=self.dtype,
             )
         else:
@@ -140,11 +155,14 @@ def build_custom_text_clip(
         layers=v.get("layers", 12),
         head_width=v.get("head_width", 64),
     )
+    pooler = {
+        "mean_pooler": "mean", "cls_pooler": "first",
+    }.get(raw["text_cfg"].get("hf_pooler_type", "mean_pooler"), "mean")
     cfg = CustomTextCLIPConfig(
         embed_dim=raw["embed_dim"],
         vision=vision,
         hf_model_name=raw["text_cfg"]["hf_model_name"],
-        pooler="mean",
+        pooler=pooler,
         quick_gelu=raw.get("quick_gelu", False),
     )
     return CustomTextCLIP(cfg, dtype=dtype, **kw)

@@ -66,7 +66,7 @@ def test_build_custom_text_clip_registry_archs():
     # every hf-text arch in the registry must resolve to a buildable module
     archs = [n for n in list_openclip_models()
              if classify_model(n)[0] == "hf-text"]
-    assert len(archs) == 5
+    assert len(archs) == 7  # roberta x3, mt5 x2, nllb x2 (plain-ViT vision)
     for n in archs:
         m = build_custom_text_clip(n)
         assert m.cfg.hf_model_name in HF_TEXT_SHAPES
@@ -93,3 +93,60 @@ def test_build_custom_text_clip_registry_archs():
     assert out["image_features"].shape == (1, 512)
     assert out["text_features"].shape == (1, 512)
     assert np.isfinite(np.asarray(out["text_features"])).all()
+
+
+def test_m2m100_nllb_encoder_parity():
+    """M2M100TextTower == HF M2M100 encoder (tiny config), incl. padded
+    rows and the cls pooler."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    from transformers import M2M100Config as HFConfig
+    from transformers.models.m2m_100.modeling_m2m_100 import M2M100Encoder
+
+    from clip_embeds_tpu.models.hf_text import (
+        M2M100Config,
+        M2M100TextTower,
+        convert_m2m100_encoder_state_dict,
+    )
+
+    hf_cfg = HFConfig(
+        vocab_size=128, d_model=32, encoder_layers=2,
+        encoder_attention_heads=4, encoder_ffn_dim=64,
+        max_position_embeddings=64, pad_token_id=1,
+        scale_embedding=True, dropout=0.0, attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    ref = M2M100Encoder(hf_cfg).eval()
+
+    cfg = M2M100Config(
+        vocab_size=128, d_model=32, num_layers=2, num_heads=4, ffn_dim=64,
+        max_position_embeddings=64, pad_token_id=1,
+    )
+    params = convert_m2m100_encoder_state_dict(
+        {"encoder." + k: v for k, v in ref.state_dict().items()}, cfg
+    )
+    # random projection on top (not in the HF encoder)
+    tower = M2M100TextTower(cfg, embed_dim=16)
+    ids = np.asarray([[5, 9, 22, 71, 2, 1, 1, 1],
+                      [6, 30, 2, 1, 1, 1, 1, 1]], np.int32)
+    mask = (ids != 1).astype(np.int32)
+    full = tower.init(jax.random.PRNGKey(0), jnp.asarray(ids))["params"]
+    full.update(params)
+
+    with torch.no_grad():
+        want = ref(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+        ).last_hidden_state.numpy()
+
+    # compare the pooled (first-token) path through our proj
+    got = tower.apply(
+        {"params": full}, jnp.asarray(ids), jnp.asarray(mask)
+    )
+    want_pooled = want[:, 0] @ np.asarray(full["proj"]["kernel"])
+    np.testing.assert_allclose(np.asarray(got), want_pooled,
+                               rtol=2e-4, atol=2e-4)
