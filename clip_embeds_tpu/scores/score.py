@@ -90,8 +90,10 @@ def CLIPScore(model, params, **kw) -> Score:
     scorer = CLIPScorer(model, params, **kw)
 
     def pair_forward(images, texts):
-        img = scorer.encode_images(images)
-        txt = scorer.encode_texts(texts)
+        # float32 for the host-side einsum (bf16 models return bf16 numpy,
+        # which numpy einsum rejects)
+        img = scorer.encode_images(images).astype(np.float32)
+        txt = scorer.encode_texts(texts).astype(np.float32)
         return np.einsum("nd,nd->n", img, txt)
 
     return Score(pair_forward)

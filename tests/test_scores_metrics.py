@@ -229,3 +229,40 @@ def test_kendall_variants_vs_reference():
                            "pairwise_acc_threshold"}
     assert -1 <= bundle["kendall_b"] <= 1
     assert 0 <= bundle["pairwise_acc"] <= 1
+
+
+def test_score_model_name_registry():
+    """t2v get_score_model dispatch surface: name lists + CLIP-family build."""
+    import pytest as _pytest
+
+    from clip_embeds_tpu.scores.registry import (
+        get_score_model,
+        list_all_clipscore_models,
+        list_all_models,
+        list_all_vqascore_models,
+    )
+
+    vqa = list_all_vqascore_models()
+    assert "llava-v1.5-7b" in vqa and "clip-flant5-xxl" in vqa
+    assert "gpt-4o" in vqa and "instructblip-flant5-xl" in vqa
+
+    clipscore = list_all_clipscore_models()
+    assert "openai:ViT-L-14-336" in clipscore    # reference tag:arch format
+    assert "blip2-itc" in clipscore and "hpsv2" in clipscore
+    assert len(clipscore) >= 180
+
+    assert len(list_all_models()) == len(clipscore) + len(vqa) + 4  # 3 blip2-itm + image-reward
+
+    # CLIP family builds a live Score (random init without weights)
+    score = get_score_model("openai:test-tiny")
+    import numpy as np
+    from PIL import Image
+
+    img = Image.fromarray(np.zeros((20, 20, 3), np.uint8))
+    out = score([img], ["a cat", "a dog"])
+    assert np.asarray(out).shape == (1, 2)
+
+    with _pytest.raises(NotImplementedError):
+        get_score_model("llava-v1.5-7b")
+    with _pytest.raises(KeyError):
+        get_score_model("not-a-model")
