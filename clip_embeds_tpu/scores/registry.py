@@ -79,19 +79,28 @@ def get_score_model(
         m, params = create_model(arch, checkpoint or tag,
                                  dtype=jnp.bfloat16)
         return CLIPScore(m, params, **kwargs)
-    if model in list_all_vqascore_models():
+    if model in LLAVA16_MODELS:
         raise NotImplementedError(
-            f"{model!r} is a VQAScore model: convert its checkpoint "
-            "(core/torch_convert.py) and construct scores.score.VQAScore "
-            "(LLaVA family) / scores.score.InstructBlipVQAScore / "
-            "models/clip_t5.py T5VQAScorer directly"
+            f"{model!r} (LLaVA-1.6 AnyRes VQAScore) has no scorer pipeline "
+            "yet; the LlavaNext backbone exists in models/llava_next.py"
         )
-    if model in list_all_itmscore_models() or model in (
-        BLIP2_ITC_MODELS + HPSV2_MODELS + PICKSCORE_MODELS
+    if model in GPT4V_MODELS or model in (
+        list_all_vqascore_models() + list_all_itmscore_models()
+        + BLIP2_ITC_MODELS
     ):
+        from .build import build_score_model
+
+        if model in GPT4V_MODELS or checkpoint is not None:
+            return build_score_model(model, checkpoint, **kwargs)
         raise NotImplementedError(
-            f"{model!r} needs converted weights; use scores.score.ITMScore "
-            "(BLIP2-ITM), scores.score.ImageRewardScore, or the HPSv2/"
-            "PickScore arch aliases through CLIPScore"
+            f"{model!r} needs converted weights (zero-egress environment): "
+            "run the family converter in core/torch_convert.py, write a "
+            "bundle with scores.build.save_score_bundle, and pass "
+            "checkpoint=<bundle dir>"
+        )
+    if model in HPSV2_MODELS + PICKSCORE_MODELS:
+        raise NotImplementedError(
+            f"{model!r} routes through CLIPScore: use the HPSv2/PickScore "
+            "arch aliases ('<tag>:<arch>' names) with a converted checkpoint"
         )
     raise KeyError(f"unknown score model {model!r}")

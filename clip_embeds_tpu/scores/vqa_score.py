@@ -29,13 +29,25 @@ SYSTEM_MSG = (
     "questions."
 )
 DEFAULT_IMAGE_TOKEN = "<image>"
+IMAGE_PLACEHOLDER = "<image-placeholder>"
 DEFAULT_QUESTION_TEMPLATE = 'Does this figure show "{}"? Please answer yes or no.'
 DEFAULT_ANSWER_TEMPLATE = "Yes"
+
+# MPT-style single-turn prompts (reference conversation.py:65-73 get_prompt
+# with conv_phi3_instruct :373-380 / conv_llama3 :383-391):
+#     system + sep + role0 + question + sep + role1
+PHI3_SYSTEM = "<|system|>\nYou are a helpful AI assistant."
+LLAMA3_SYSTEM = (
+    "<|begin_of_text|><|start_header_id|>system<|end_header_id|>\n\n"
+    + SYSTEM_MSG
+)
 
 TokenizeFn = Callable[[str], List[int]]
 
 
 def format_question(question: str, style: str = "chat") -> str:
+    """llava_model.py:17-42 conversation formats incl. the paper-added
+    phi3_instruct / llama3 styles (llava-phi-3, llava-llama-3)."""
     if style == "plain":
         return DEFAULT_IMAGE_TOKEN + question
     if style == "chat":
@@ -43,14 +55,35 @@ def format_question(question: str, style: str = "chat") -> str:
             SYSTEM_MSG + " USER: " + DEFAULT_IMAGE_TOKEN + "\n" + question
             + " ASSISTANT: "
         )
+    if style in ("phi3_instruct", "llama3"):
+        if IMAGE_PLACEHOLDER in question:
+            qs = question.replace(IMAGE_PLACEHOLDER, DEFAULT_IMAGE_TOKEN)
+        else:
+            qs = DEFAULT_IMAGE_TOKEN + "\n" + question
+        if style == "phi3_instruct":
+            return (
+                PHI3_SYSTEM + "<|end|>" + "\n<|user|>\n" + qs + "<|end|>"
+                + "\n<|assistant|>\n"
+            )
+        return (
+            LLAMA3_SYSTEM + "<|eot_id|>"
+            + "<|start_header_id|>user<|end_header_id|>\n\n" + qs
+            + "<|eot_id|>"
+            + "<|start_header_id|>assistant<|end_header_id|>\n\n"
+        )
     raise NotImplementedError(style)
 
 
 def format_answer(answer: str, style: str = "chat") -> str:
+    """llava_model.py:44-58: answer + per-style end-of-turn token."""
     if style == "plain":
         return answer + "\n"
     if style == "chat":
         return answer + "</s>"
+    if style == "phi3_instruct":
+        return answer + "<|end|>"
+    if style == "llama3":
+        return answer + "<|eot_id|>"
     raise NotImplementedError(style)
 
 
@@ -326,6 +359,8 @@ def format_question_t5(question: str, style: str = "t5_chat") -> str:
         )
     if style == "t5_chat_no_system":
         return "USER: " + DEFAULT_IMAGE_TOKEN + "\n" + question + " ASSISTANT: "
+    if style == "t5_chat_no_system_no_user":
+        return DEFAULT_IMAGE_TOKEN + "\n" + question + " : "
     raise NotImplementedError(style)
 
 
