@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--usehardtext", action="store_true")
     p.add_argument("--augfiles", nargs="*", default=None)
     p.add_argument("--siglip", action="store_true")
+    p.add_argument("--distill-model", default=None,
+                   help="teacher arch to distill from (params.py:461-464)")
+    p.add_argument("--distill-pretrained", default=None,
+                   help="teacher weights tag/path (params.py:466-469)")
     p.add_argument("--grad-cache-chunks", type=int, default=0)
     p.add_argument("--grad-checkpointing", action="store_true")
     p.add_argument("--dataset-type", default="synthetic",
@@ -151,10 +155,27 @@ def main(argv=None):
     n_dev = len(jax.devices())
     mesh = create_mesh(n_dev, 1)
     sharding = batch_sharding(mesh)
-    step_fn = jax.jit(make_clip_train_step(
-        model, use_siglip=args.siglip, use_hard_text=args.usehardtext,
-        grad_cache_chunks=args.grad_cache_chunks,
-    ), donate_argnums=0)
+    # --distill is active when both teacher flags are set (main.py:208)
+    distill = args.distill_model is not None and \
+        args.distill_pretrained is not None
+    if distill:
+        from ..train.steps import make_distill_train_step
+
+        teacher_model, teacher_params = create_model(
+            args.distill_model, args.distill_pretrained, dtype=dtype,
+        )
+        teacher_params = jax.device_put(teacher_params)
+        distill_step = jax.jit(
+            make_distill_train_step(model, teacher_model), donate_argnums=0
+        )
+        step_fn = lambda state, batch: distill_step(  # noqa: E731
+            state, teacher_params, batch
+        )
+    else:
+        step_fn = jax.jit(make_clip_train_step(
+            model, use_siglip=args.siglip, use_hard_text=args.usehardtext,
+            grad_cache_chunks=args.grad_cache_chunks,
+        ), donate_argnums=0)
 
     logging.info("devices=%d steps/epoch=%d", n_dev, steps_per_epoch)
     with jax.sharding.set_mesh(mesh):

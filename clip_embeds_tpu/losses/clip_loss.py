@@ -84,6 +84,53 @@ def clip_loss_hard_text(
     return (loss_i + loss_t) / 2
 
 
+def _kd_cross_entropy(teacher_logits: jax.Array,
+                      student_logits: jax.Array) -> jax.Array:
+    """-(softmax(teacher) * log_softmax(student)).sum(1).mean(0)
+    (reference DistillClipLoss.dist_loss, loss.py:243-244)."""
+    t = jax.nn.softmax(teacher_logits.astype(jnp.float32), axis=1)
+    ls = jax.nn.log_softmax(student_logits.astype(jnp.float32), axis=1)
+    return -(t * ls).sum(axis=1).mean(axis=0)
+
+
+def distill_clip_loss(
+    image_features: jax.Array,
+    text_features: jax.Array,
+    logit_scale: jax.Array,
+    dist_image_features: jax.Array,
+    dist_text_features: jax.Array,
+    dist_logit_scale: jax.Array,
+):
+    """(contrastive_loss, distill_loss) for --distill training.
+
+    Reference: open_clip/src/open_clip/loss.py:241-277 DistillClipLoss —
+    standard symmetric InfoNCE on the student plus KD cross-entropy between
+    the frozen teacher's logits and the student's, both directions, halved.
+    Teacher features come from a no-grad forward (train.py:103-107); callers
+    wrap the teacher in jax.lax.stop_gradient or keep its params out of grad.
+    """
+    logits_img = logit_scale * jnp.einsum(
+        "id,jd->ij", image_features, text_features,
+        preferred_element_type=jnp.float32,
+    )
+    logits_txt = logits_img.T
+    t_logits_img = dist_logit_scale * jnp.einsum(
+        "id,jd->ij", dist_image_features, dist_text_features,
+        preferred_element_type=jnp.float32,
+    )
+    t_logits_txt = t_logits_img.T
+    labels = jnp.arange(image_features.shape[0])
+    contrastive = (
+        softmax_cross_entropy(logits_img, labels).mean()
+        + softmax_cross_entropy(logits_txt, labels).mean()
+    ) / 2
+    distill = (
+        _kd_cross_entropy(t_logits_img, logits_img)
+        + _kd_cross_entropy(t_logits_txt, logits_txt)
+    ) / 2
+    return contrastive, distill
+
+
 def pacl_clip_loss(
     image_features: jax.Array,
     text_features: jax.Array,

@@ -18,7 +18,12 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..losses.clip_loss import clip_loss, clip_loss_hard_text, clip_metrics
+from ..losses.clip_loss import (
+    clip_loss,
+    clip_loss_hard_text,
+    clip_metrics,
+    distill_clip_loss,
+)
 from ..losses.siglip import siglip_loss
 from .grad_cache import cache_grad_step
 
@@ -111,6 +116,51 @@ def make_clip_train_step(
         state = state.replace(params=_clamp_logit_scale(state.params))
         metrics = dict(metrics, loss=loss)
         return state, metrics
+
+    return train_step
+
+
+def make_distill_train_step(
+    model,
+    teacher_model,
+) -> Callable[[TrainState, Any, Dict[str, jax.Array]], Tuple[TrainState, Dict]]:
+    """--distill training step (reference main.py:208-248 + train.py:70-107):
+    the frozen teacher forwards the same batch under no-grad, the student
+    optimizes contrastive + KD loss (DistillClipLoss, loss.py:241-277).
+
+    step(state, teacher_params, batch) — teacher params stay outside the
+    TrainState so they are never donated or updated.
+    """
+
+    def compute_loss(params, teacher_params, batch):
+        out = model.apply({"params": params}, batch["images"], batch["texts"])
+        t_out = jax.lax.stop_gradient(
+            teacher_model.apply(
+                {"params": teacher_params}, batch["images"], batch["texts"]
+            )
+        )
+        contrastive, distill = distill_clip_loss(
+            out["image_features"], out["text_features"], out["logit_scale"],
+            t_out["image_features"], t_out["text_features"],
+            t_out["logit_scale"],
+        )
+        metrics = clip_metrics(
+            out["image_features"], out["text_features"], out["logit_scale"]
+        )
+        metrics.update(
+            contrastive_loss=contrastive, distill_loss=distill,
+            logit_scale=out["logit_scale"],
+        )
+        # total_loss = sum of the loss dict (reference train.py:124-129)
+        return contrastive + distill, metrics
+
+    def train_step(state: TrainState, teacher_params, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params, teacher_params, batch)
+        state = state.apply_gradients(grads)
+        state = state.replace(params=_clamp_logit_scale(state.params))
+        return state, dict(metrics, loss=loss)
 
     return train_step
 

@@ -217,3 +217,57 @@ def test_clip_loss_sharded_matches_single_device(feats):
     with jax.sharding.set_mesh(mesh):
         sharded = loss_fn(img_s, txt_s, scale)
     np.testing.assert_allclose(float(sharded), float(single), rtol=1e-5)
+
+
+def test_distill_clip_loss_matches_reference(feats):
+    """distill_clip_loss vs the reference DistillClipLoss
+    (open_clip/src/open_clip/loss.py:241-277) as a runtime torch oracle."""
+    torch = pytest.importorskip("torch")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_oc_loss", "/root/reference/open_clip/src/open_clip/loss.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    img, txt = feats
+    r = np.random.default_rng(7)
+    t_img = _norm(r.standard_normal(img.shape).astype(np.float32))
+    t_txt = _norm(r.standard_normal(txt.shape).astype(np.float32))
+
+    # NOTE: the fork's DistillClipLoss.forward is latently broken — the
+    # usehardtext refactor made get_ground_truth return (labels, labels)
+    # (loss.py:124) while the unmodified DistillClipLoss still passes the
+    # result straight to F.cross_entropy (loss.py:265-268), so calling it
+    # raises TypeError. Oracle the two components it *defines* instead:
+    # dist_loss (loss.py:243-244) and the upstream contrastive CE.
+    loss_mod = ref.DistillClipLoss()
+    import torch.nn.functional as F
+
+    with torch.no_grad():
+        s_img = 10.0 * torch.from_numpy(img) @ torch.from_numpy(txt).T
+        t_im = 50.0 * torch.from_numpy(t_img) @ torch.from_numpy(t_txt).T
+        labels = torch.arange(img.shape[0])
+        expected = {
+            "contrastive_loss": (
+                F.cross_entropy(s_img, labels)
+                + F.cross_entropy(s_img.T, labels)
+            ) / 2,
+            "distill_loss": (
+                loss_mod.dist_loss(t_im, s_img)
+                + loss_mod.dist_loss(t_im.T, s_img.T)
+            ) / 2,
+        }
+    from clip_embeds_tpu.losses.clip_loss import distill_clip_loss
+
+    contrastive, distill = distill_clip_loss(
+        jnp.asarray(img), jnp.asarray(txt), jnp.asarray(10.0),
+        jnp.asarray(t_img), jnp.asarray(t_txt), jnp.asarray(50.0),
+    )
+    np.testing.assert_allclose(
+        float(contrastive), expected["contrastive_loss"].item(), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(distill), expected["distill_loss"].item(), rtol=1e-5
+    )

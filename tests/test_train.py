@@ -240,3 +240,44 @@ def test_model_bundle_roundtrip(tmp_path):
         np.asarray(a["image_features"]), np.asarray(b["image_features"]),
         rtol=1e-6,
     )
+
+
+def test_distill_train_step(tiny_model):
+    """--distill path: student improves while the teacher stays frozen
+    (reference main.py:208-248, train.py:70-107, loss.py:241-277)."""
+    from clip_embeds_tpu.train.steps import make_distill_train_step
+
+    model, params = tiny_model
+    _, teacher_params = create_model("test-tiny", attn_impl="reference",
+                                     seed=3)
+    tx = adamw(1e-3)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_distill_train_step(model, model))
+
+    teacher_before = jax.device_get(teacher_params)
+    batch = _batches(1)[0]
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, teacher_params, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert float(metrics["contrastive_loss"]) > 0
+    assert float(metrics["distill_loss"]) > 0
+    # teacher untouched
+    after = jax.device_get(teacher_params)
+    for a, b in zip(jax.tree.leaves(teacher_before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_distill_cli_synthetic(tmp_path):
+    """End-to-end --distill train on the synthetic dataset (CLI flags
+    --distill-model/--distill-pretrained, reference params.py:461-469)."""
+    from clip_embeds_tpu.cli.train import main
+
+    state = main([
+        "--model", "test-tiny", "--dataset-type", "synthetic",
+        "--train-num-samples", "16", "--batch-size", "8", "--epochs", "1",
+        "--distill-model", "test-tiny", "--distill-pretrained", "openai",
+        "--precision", "fp32", "--log-every", "1",
+    ])
+    assert int(state.step) == 2
