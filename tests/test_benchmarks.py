@@ -1,5 +1,6 @@
 """Benchmark dataset classes + zero-shot classifier tests."""
 
+import pytest
 import json
 import os
 
@@ -349,6 +350,7 @@ def test_imagenet_zero_shot_metadata():
     np.testing.assert_allclose(np.linalg.norm(clf, axis=0), 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_t2v_eval_cli_end_to_end(tmp_path):
     """cli/t2v_eval: CLIPScore over winoground + sugarcrepe fixtures."""
     import json as _json

@@ -9,6 +9,8 @@ from clip_embeds_tpu.core.config import VisionConfig
 from clip_embeds_tpu.core.torch_convert import convert_blip2_state_dict
 from clip_embeds_tpu.models.blip2 import Blip2Config, Blip2ITM, QFormerConfig
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def hf_blip2():

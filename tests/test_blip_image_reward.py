@@ -21,6 +21,8 @@ from clip_embeds_tpu.models.blip import (
     convert_image_reward_state_dict,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 MED = ("/root/reference/t2v_metrics/t2v_metrics/models/vqascore_models/"
        "lavis/models/med.py")
 

@@ -13,6 +13,8 @@ from clip_embeds_tpu.models.llava import IMAGE_TOKEN_INDEX
 from clip_embeds_tpu.models.t5 import T5Config
 from clip_embeds_tpu.scores.vqa_score import T5VQAScorer, t5_tokenizer_image_token
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 def tiny():
     cfg = CLIPT5Config(

@@ -14,6 +14,8 @@ from clip_embeds_tpu.core.torch_convert import convert_coca_state_dict
 from clip_embeds_tpu.losses.coca import coca_loss
 from clip_embeds_tpu.models.coca import CoCa, CoCaConfig, MultimodalConfig
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def ref_coca():

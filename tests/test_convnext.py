@@ -16,6 +16,8 @@ from clip_embeds_tpu.models.convnext import (
 torch = pytest.importorskip("torch")
 from torch import nn  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 class LayerNorm2d(nn.LayerNorm):
     def forward(self, x):

@@ -16,6 +16,8 @@ from clip_embeds_tpu.models.eva import (
     eva_giant_config,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 def tiny_cfg() -> VisionConfig:
     return VisionConfig(image_size=32, patch_size=16, width=64, layers=2,

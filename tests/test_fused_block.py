@@ -50,6 +50,7 @@ def test_fused_path_available_shapes():
     assert fused_path_available(vith)
 
 
+@pytest.mark.slow
 def test_fused_int8_parity_vs_static_quant_model():
     """int8 fused path == composable QuantDense-static path (same math)."""
     from clip_embeds_tpu.models.clip import CLIP
@@ -80,6 +81,7 @@ def test_fused_int8_parity_vs_static_quant_model():
     )
 
 
+@pytest.mark.slow
 def test_fused_encode_text_parity():
     from clip_embeds_tpu.models.serving import fused_encode_text
 

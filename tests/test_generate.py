@@ -10,6 +10,8 @@ from clip_embeds_tpu.core.torch_convert import convert_llama_state_dict
 from clip_embeds_tpu.models.generate import greedy_generate
 from clip_embeds_tpu.models.llama import LlamaConfig, LlamaForCausalLM
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def pair():

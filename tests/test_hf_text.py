@@ -14,6 +14,8 @@ from clip_embeds_tpu.models.hf_text import (
 )
 from clip_embeds_tpu.models.t5 import T5Config
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 def test_mean_pool_masked():
     hidden = jnp.asarray([[[1.0, 1.0], [3.0, 3.0], [100.0, 100.0]]])

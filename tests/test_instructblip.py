@@ -11,6 +11,8 @@ from clip_embeds_tpu.models.blip2 import QFormerConfig
 from clip_embeds_tpu.models.instructblip import InstructBlipConfig, InstructBlipT5
 from clip_embeds_tpu.models.t5 import T5Config
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def hf_model():

@@ -11,6 +11,8 @@ from clip_embeds_tpu.models.llama import (
     LlamaForCausalLM,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def hf_pair():

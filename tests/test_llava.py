@@ -17,6 +17,8 @@ from clip_embeds_tpu.models.llava import (
     splice_positions,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 def tiny_cfg():
     return LlavaConfig(

@@ -18,6 +18,8 @@ from clip_embeds_tpu.models.llava_next import (
     select_best_resolution,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 PINPOINTS = ((32, 64), (64, 32), (64, 64))
 
 

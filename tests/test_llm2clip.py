@@ -14,6 +14,8 @@ from clip_embeds_tpu.models.llm2clip import (
     convert_llm2clip_state_dict,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 def tiny_cfg() -> LLM2CLIPConfig:
     return LLM2CLIPConfig(

@@ -87,6 +87,7 @@ def test_clip_loss_matches_reference(feats, ref_pacl_losses):
     assert abs(got - expected) < 1e-5
 
 
+@pytest.mark.slow
 def test_sparc_loss_matches_reference(ref_pacl_losses):
     import torch
 
@@ -159,6 +160,7 @@ def test_hard_text_loss():
     assert float(loss) >= float(plain) - 1e-6
 
 
+@pytest.mark.slow
 def test_siglip_ring_matches_global(feats):
     img, txt = feats
     mesh = create_mesh(8, 1)
@@ -172,6 +174,7 @@ def test_siglip_ring_matches_global(feats):
     np.testing.assert_allclose(float(ring_loss), float(global_loss), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_siglip_ring_gradients_match(feats):
     img, txt = feats
     mesh = create_mesh(8, 1)

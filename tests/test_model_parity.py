@@ -150,6 +150,7 @@ def test_sincos_pos_embed_matches_reference():
     np.testing.assert_allclose(mine, ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_scan_layers_matches_unrolled():
     import jax
 

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from clip_embeds_tpu.models.llama import LlamaConfig
 from clip_embeds_tpu.models.phi3 import Phi3ForCausalLM, convert_phi3_state_dict
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 def test_phi3_logits_parity():
     torch = pytest.importorskip("torch")

@@ -25,6 +25,8 @@ from clip_embeds_tpu.models.phi3_v import (
     phi3v_process_image,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 REF = "/root/reference/VLM2Vec/src/vlm_backbone/phi3_v/image_embedding_phi3_v.py"
 
 

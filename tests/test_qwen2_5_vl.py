@@ -17,6 +17,8 @@ from clip_embeds_tpu.models.qwen2_vl import (
     get_rope_index,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 IMAGE_TOKEN, VIDEO_TOKEN, VISION_START = 500, 501, 502
 
 # vit_merger_window_size = 16 / 2 / 4 = 2 cells per window side

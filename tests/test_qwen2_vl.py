@@ -17,6 +17,8 @@ from clip_embeds_tpu.models.qwen2_vl import (
     smart_resize,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 IMAGE_TOKEN, VIDEO_TOKEN, VISION_START = 500, 501, 502
 
 

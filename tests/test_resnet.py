@@ -12,6 +12,8 @@ import jax.numpy as jnp
 from clip_embeds_tpu.core.torch_convert import convert_modified_resnet_state_dict
 from clip_embeds_tpu.models.resnet import ModifiedResNet
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def ref_resnet():

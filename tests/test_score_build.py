@@ -119,6 +119,7 @@ def _img():
     ("llava-v1.5-7b", "chat"), ("llava-phi-3", "phi3_instruct"),
     ("llava-llama-3", "llama3"),
 ])
+@pytest.mark.slow
 def test_get_score_model_llava_family(tmp_path, name, style):
     from clip_embeds_tpu.models.llama import LlamaConfig
     from clip_embeds_tpu.models.llava import (
@@ -151,6 +152,7 @@ def test_get_score_model_llava_family(tmp_path, name, style):
     assert np.isfinite(out).all() and (out > 0).all() and (out <= 1).all()
 
 
+@pytest.mark.slow
 def test_get_score_model_clip_t5(tmp_path):
     from clip_embeds_tpu.models.clip_t5 import CLIPT5, CLIPT5Config
     from clip_embeds_tpu.models.llava import IMAGE_TOKEN_INDEX
@@ -181,6 +183,7 @@ def test_get_score_model_clip_t5(tmp_path):
     assert np.isfinite(out).all() and (out > 0).all()
 
 
+@pytest.mark.slow
 def test_get_score_model_instructblip(tmp_path):
     from clip_embeds_tpu.models.blip2 import QFormerConfig
     from clip_embeds_tpu.models.instructblip import (
@@ -233,6 +236,7 @@ def _tiny_blip2_cfg():
     )
 
 
+@pytest.mark.slow
 def test_get_score_model_blip2_itm(tmp_path):
     from clip_embeds_tpu.models.blip2 import Blip2ITM
 
@@ -254,6 +258,7 @@ def test_get_score_model_blip2_itm(tmp_path):
     assert ((out >= 0) & (out <= 1)).all()  # softmax[:, 1]
 
 
+@pytest.mark.slow
 def test_get_score_model_blip2_itc(tmp_path):
     from clip_embeds_tpu.models.blip2 import Blip2ITM
 
@@ -275,6 +280,7 @@ def test_get_score_model_blip2_itc(tmp_path):
     assert ((out >= -1) & (out <= 1)).all()  # cosine
 
 
+@pytest.mark.slow
 def test_get_score_model_image_reward(tmp_path):
     from clip_embeds_tpu.models.blip import (
         BlipConfig,

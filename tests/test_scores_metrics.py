@@ -231,6 +231,7 @@ def test_kendall_variants_vs_reference():
     assert 0 <= bundle["pairwise_acc"] <= 1
 
 
+@pytest.mark.slow
 def test_score_model_name_registry():
     """t2v get_score_model dispatch surface: name lists + CLIP-family build."""
     import pytest as _pytest

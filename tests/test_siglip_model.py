@@ -13,6 +13,8 @@ from clip_embeds_tpu.models.siglip import (
     convert_siglip_state_dict,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def hf_model():

@@ -12,6 +12,8 @@ from clip_embeds_tpu.models.t5 import (
     shift_right,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def hf_t5():

@@ -32,6 +32,7 @@ def _batches(n, bs=8, hard=0):
     )
 
 
+@pytest.mark.slow
 def test_train_loss_decreases(tiny_model):
     model, params = tiny_model
     tx = adamw(cosine_lr(1e-3, warmup=2, total_steps=20), weight_decay=0.01)
@@ -49,6 +50,7 @@ def test_train_loss_decreases(tiny_model):
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_hard_text_step_runs(tiny_model):
     model, params = tiny_model
     tx = adamw(1e-4)
@@ -59,6 +61,7 @@ def test_hard_text_step_runs(tiny_model):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_grad_cache_matches_plain(tiny_model):
     """GradCache chunked gradients == full-batch gradients (exactness)."""
     model, params = tiny_model
@@ -92,6 +95,7 @@ def test_grad_cache_matches_plain(tiny_model):
         )
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(tiny_model):
     """The same jitted step over an 8-device data mesh gives the same loss."""
     model, params = tiny_model
@@ -131,6 +135,7 @@ def test_decay_mask_excludes_norms_and_scalars(tiny_model):
     assert blk["attn"]["in_proj"]["bias"] is False
 
 
+@pytest.mark.slow
 def test_remat_train_step_runs():
     """Regression: remat + flash custom_vjp static args (nn.remat counts self
     as argnum 0; a wrong index leaks a tracer into nondiff_argnums)."""
@@ -146,6 +151,7 @@ def test_remat_train_step_runs():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_zero1_sharded_opt_state_matches(tiny_model):
     """Optimizer-state sharding over the mesh preserves the update exactly."""
     from clip_embeds_tpu.parallel.sharding_rules import zero1_opt_state_sharding
@@ -242,6 +248,7 @@ def test_model_bundle_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_distill_train_step(tiny_model):
     """--distill path: student improves while the teacher stays frozen
     (reference main.py:208-248, train.py:70-107, loss.py:241-277)."""
@@ -269,6 +276,7 @@ def test_distill_train_step(tiny_model):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_distill_cli_synthetic(tmp_path):
     """End-to-end --distill train on the synthetic dataset (CLI flags
     --distill-model/--distill-pretrained, reference params.py:461-469)."""

@@ -18,6 +18,8 @@ from clip_embeds_tpu.train.optim import adamw
 from clip_embeds_tpu.train.steps import TrainState
 from clip_embeds_tpu.train.vlm2vec import make_vlm2vec_train_step
 
+pytestmark = pytest.mark.slow  # torch-oracle parity family (see pyproject)
+
 
 def tiny_llava():
     cfg = LlavaConfig(
