@@ -329,9 +329,9 @@ class SiglipScorer:
     Reference: VLM2Vec/evaluation/eval_siglip.py runs
     google/siglip-so400m-patch14-384 through the MMEB cosine protocol; the
     SigLIP pairing score itself is sigmoid(logit_scale*cos + logit_bias)
-    (models/siglip.py). The SigLIP sentencepiece tokenizer is unavailable in
-    this image, so a ``tokenize`` callable (texts -> int [B, 64] ids) must be
-    injected — e.g. HF AutoTokenizer when network/vocab files are present.
+    (models/siglip.py). ``tokenize`` is any texts -> int [B, 64] ids callable;
+    text/tokenizer.py SigLipTokenizer (pure-Python sentencepiece unigram over
+    a local .model file, no native dependency) is the drop-in native choice.
     """
 
     def __init__(

@@ -305,35 +305,31 @@ class HFTokenizer:
 
 
 class SigLipTokenizer:
-    """SigLIP sentencepiece tokenizer wrapper (reference tokenizer.py:464-528):
-    canonicalize(basic_clean(text)) -> T5/Gemma sentencepiece encode, pad to
-    64. Requires the ``sentencepiece`` package (absent in this image — the
-    constructor raises ImportError with a clear message; the cleaning
-    functions above are the testable open-coded part)."""
+    """SigLIP sentencepiece tokenizer (reference tokenizer.py:464-528):
+    canonicalize(basic_clean(text)) -> unigram sentencepiece encode + </s>,
+    pad to 64 (pad id 1 for the T5 c4-en/mc4 vocabs, 0 for Gemma).
+
+    Runs the pure-Python unigram engine in text/unigram.py directly over the
+    ``.model`` protobuf — no native ``sentencepiece`` dependency. Pass the
+    local path of the reference's vocab file (tokenizer.py:470-477 URL table;
+    zero-egress here, so the file must be supplied).
+    """
 
     def __init__(self, tokenizer_name: str, context_length: Optional[int] = 64):
-        try:
-            import sentencepiece  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "SigLipTokenizer needs the 'sentencepiece' package"
-            ) from e
-        from functools import partial
+        import os
 
-        if "gemma" in tokenizer_name:
-            from transformers import GemmaTokenizerFast
+        from .unigram import UnigramTokenizer
 
-            tokenizer_cls = partial(
-                GemmaTokenizerFast, padding_side="right",
-                add_bos_token=False, add_eos_token=True,
+        if not os.path.exists(tokenizer_name):
+            raise FileNotFoundError(
+                f"SigLipTokenizer needs a local sentencepiece .model file; "
+                f"{tokenizer_name!r} does not exist (the reference downloads "
+                "c4-en/mc4/gemma vocabs — see tokenizer.py:470-477)"
             )
-        else:
-            from transformers import T5TokenizerFast
-
-            tokenizer_cls = partial(T5TokenizerFast, extra_ids=0)
-        self.tokenizer = tokenizer_cls(tokenizer_name, legacy=False)
-        self.tokenizer.pad_token_id = 0 if "gemma" in tokenizer_name else 1
-        self.tokenizer.eos_token_id = 1
+        self.tokenizer = UnigramTokenizer.from_model_file(tokenizer_name)
+        self.is_gemma = "gemma" in tokenizer_name
+        self.pad_token_id = 0 if self.is_gemma else 1
+        self.eos_token_id = 1
         self.context_length = context_length
 
     def __call__(self, texts, context_length: Optional[int] = None):
@@ -342,11 +338,16 @@ class SigLipTokenizer:
         if isinstance(texts, str):
             texts = [texts]
         context_length = context_length or self.context_length
+        assert context_length, "set a context length"
         texts = [canonicalize_text(basic_clean(t)) for t in texts]
-        return self.tokenizer(
-            texts, return_tensors="np", max_length=context_length,
-            padding="max_length", truncation=True,
-        ).input_ids.astype(np.int32)
+        out = np.full((len(texts), context_length), self.pad_token_id,
+                      np.int32)
+        for i, text in enumerate(texts):
+            # truncate to leave room for </s> like the HF fast tokenizer
+            ids = self.tokenizer.encode(text)[: context_length - 1]
+            ids = ids + [self.eos_token_id]
+            out[i, : len(ids)] = ids
+        return out
 
 
 # -- context-length reduction strategies (reference tokenizer.py:280-400) ----

@@ -159,3 +159,57 @@ def test_siglip_scorer_protocols():
     pair = scorer.pair_score([imgs[0], imgs[1]], ["left", "right"])
     assert pair.shape == (2, 2)
     np.testing.assert_allclose(pair.sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_siglip_e2e_with_native_tokenizer(tmp_path):
+    """SigLIP dual encoder end to end through the pure-Python sentencepiece
+    tokenizer (text/unigram.py) — no injected stub, no native dependency."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from clip_embeds_tpu.models.siglip import (
+        Siglip,
+        SiglipConfig,
+        SiglipTextConfig,
+        SiglipVisionConfig,
+    )
+    from clip_embeds_tpu.scores.scorers import SiglipScorer
+    from clip_embeds_tpu.text.tokenizer import SigLipTokenizer
+    from clip_embeds_tpu.text.unigram import (
+        CONTROL,
+        NORMAL,
+        UNKNOWN,
+        write_model_proto,
+    )
+
+    pieces = [("<pad>", 0.0, CONTROL), ("</s>", 0.0, CONTROL),
+              ("<unk>", 0.0, UNKNOWN)]
+    for w in ["▁a", "▁photo", "▁of", "▁cat", "▁dog", "▁", "a", "o", "t"]:
+        pieces.append((w, -3.0, NORMAL))
+    path = tmp_path / "tiny.model"
+    path.write_bytes(write_model_proto(pieces))
+    tok = SigLipTokenizer(str(path), context_length=8)
+
+    cfg = SiglipConfig(
+        vision=SiglipVisionConfig(image_size=28, patch_size=14, width=32,
+                                  layers=1, heads=2, intermediate_size=64),
+        text=SiglipTextConfig(vocab_size=64, width=32, layers=1, heads=2,
+                              intermediate_size=64,
+                              max_position_embeddings=8),
+    )
+    model = Siglip(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 3)),
+        jnp.zeros((1, 8), jnp.int32),
+    )["params"]
+
+    scorer = SiglipScorer(model, params, tok, batch_size=4)
+    rng = np.random.default_rng(0)
+    imgs = [Image.fromarray(rng.integers(0, 255, (30, 30, 3), np.uint8))
+            for _ in range(2)]
+    probs = scorer.sigmoid_scores(imgs, ["a photo of a cat",
+                                         "a photo of a dog"])
+    assert probs.shape == (2, 2)
+    assert ((probs > 0) & (probs < 1)).all()

@@ -183,10 +183,111 @@ def test_reduction_mask_tokenizers():
     assert shuf.shape == (1, 10)
 
 
-def test_siglip_tokenizer_gated():
+def test_siglip_tokenizer_missing_file():
     import pytest as _pytest
 
     from clip_embeds_tpu.text.tokenizer import SigLipTokenizer
 
-    with _pytest.raises(ImportError, match="sentencepiece"):
+    with _pytest.raises(FileNotFoundError, match="c4-en"):
         SigLipTokenizer("c4-en")
+
+
+def _tiny_spm_pieces():
+    """A tiny unigram vocab in sentencepiece id order (specials first)."""
+    from clip_embeds_tpu.text.unigram import CONTROL, NORMAL, UNKNOWN
+
+    words = ["the", "cat", "sat", "on", "mat", "a", "dog", "ran", "to",
+             "hat", "rat", "t", "h", "e", "c", "a", "o", "n", "m", "s",
+             "d", "g", "r", "▁", "▁the", "▁cat", "▁a",
+             "▁s", "at", "he", "ca"]
+    pieces = [("<pad>", 0.0, CONTROL), ("</s>", 0.0, CONTROL),
+              ("<unk>", 0.0, UNKNOWN)]
+    import numpy as np
+
+    r = np.random.default_rng(0)
+    for w in words:
+        pieces.append((w, float(-r.uniform(1.0, 8.0)), NORMAL))
+    return pieces
+
+
+def test_spm_model_proto_roundtrip(tmp_path):
+    from clip_embeds_tpu.text.unigram import (
+        UnigramTokenizer,
+        parse_model_proto,
+        write_model_proto,
+    )
+
+    pieces = _tiny_spm_pieces()
+    blob = write_model_proto(pieces)
+    parsed = parse_model_proto(blob)
+    assert [(p, t) for p, _, t in parsed] == [(p, t) for p, _, t in pieces]
+    np.testing.assert_allclose(           # scores ride a float32 proto field
+        [s for _, s, _ in parsed], [s for _, s, _ in pieces], rtol=1e-6
+    )
+
+    path = tmp_path / "tiny.model"
+    path.write_bytes(blob)
+    tok = UnigramTokenizer.from_model_file(str(path))
+    assert tok.unk_id == 2 and tok.eos_id == 1 and tok.pad_id == 0
+    assert tok.tokenize("the cat")[0].startswith("▁")
+
+
+def test_spm_unigram_matches_hf_tokenizers_engine():
+    """Viterbi parity vs the HF `tokenizers` Rust Unigram model — the exact
+    engine behind T5TokenizerFast (reference SigLipTokenizer backend)."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, models, normalizers, pre_tokenizers
+
+    from clip_embeds_tpu.text.unigram import UNKNOWN, UnigramTokenizer
+
+    pieces = _tiny_spm_pieces()
+    ours = UnigramTokenizer(pieces)
+
+    oracle = Tokenizer(models.Unigram(
+        [(p, s) for p, s, _ in pieces],
+        unk_id=next(i for i, (_, _, t) in enumerate(pieces) if t == UNKNOWN),
+        byte_fallback=False,
+    ))
+    oracle.normalizer = normalizers.NFKC()
+    oracle.pre_tokenizer = pre_tokenizers.Metaspace()
+
+    texts = [
+        "the cat sat on a mat",
+        "a dog ran to the hat",
+        "that rat sat",
+        "cats eat hats",          # needs single-char fallbacks
+        "the",
+        "attach据",                # unknown char -> unk id
+    ]
+    for text in texts:
+        got = ours.encode(text)
+        expected = oracle.encode(text).ids
+        assert got == expected, (text, got, expected,
+                                 [pieces[i][0] for i in got],
+                                 [pieces[i][0] for i in expected])
+    # whitespace collapse is ours to do (the oracle's Precompiled charsmap
+    # equivalent): extra spaces change nothing
+    assert ours.encode("  the   cat ") == ours.encode("the cat")
+
+
+def test_siglip_tokenizer_end_to_end(tmp_path):
+    from clip_embeds_tpu.text.tokenizer import SigLipTokenizer
+    from clip_embeds_tpu.text.unigram import write_model_proto
+
+    path = tmp_path / "c4-en-tiny.model"
+    path.write_bytes(write_model_proto(_tiny_spm_pieces()))
+    tok = SigLipTokenizer(str(path), context_length=16)
+
+    out = tok(["The cat sat!", "a dog"])
+    assert out.shape == (2, 16) and out.dtype.name == "int32"
+    # eos terminates each row, pad id 1 (T5 vocab) fills the rest
+    for row in out:
+        nz = [i for i, v in enumerate(row) if v == 1]
+        assert nz, row  # contains eos/pad id
+    # canonicalize_text strips punctuation: "The cat sat!" == "The cat sat"
+    same = tok(["The cat sat"])
+    assert (out[0] == same[0]).all()
+
+    # truncation leaves room for </s>
+    long = tok(["the cat " * 50])
+    assert long.shape == (1, 16) and long[0, -1] == 1
