@@ -51,7 +51,8 @@ def _resize_shortest(img: Image.Image, size: int) -> Image.Image:
     if short == size:
         return img
     new_short = size
-    new_long = int(round(size * long / short))
+    # torchvision _compute_resized_output_size truncates (int(), no round)
+    new_long = int(size * long / short)
     new_w, new_h = (new_short, new_long) if w <= h else (new_long, new_short)
     return img.resize((new_w, new_h), Image.BICUBIC)
 
