@@ -18,7 +18,7 @@ class VisionConfig:
     patch_size: int = 16
     width: int = 768
     layers: int = 12
-    tower: str = "vit"  # 'vit' | 'resnet' | 'eva' | 'convnext'
+    tower: str = "vit"  # 'vit' | 'resnet' | 'eva' | 'eva02' | 'convnext'
     resnet_layers: Tuple[int, ...] = ()  # ModifiedResNet stage depths
     convnext_depths: Tuple[int, ...] = ()  # ConvNeXt stage depths
     convnext_dims: Tuple[int, ...] = ()    # ConvNeXt stage widths
@@ -28,6 +28,12 @@ class VisionConfig:
     pool_type: str = "tok"  # 'tok' | 'avg' | 'none'
     no_ln_pre: bool = False
     final_ln_after_pool: bool = False
+    # EVA02 tower variants (timm eva.py flags; models/eva.py):
+    eva_rope: bool = False              # 2D rotary embed on q/k (cls excluded)
+    eva_swiglu: bool = False            # SwiGLU MLP with inner LayerNorm
+    eva_attn_inner_norm: bool = False   # LN on attn output before out-proj
+    eva_post_norm: bool = False         # post-norm blocks (EVA02-E)
+    eva_ref_feat_shape: Tuple[int, int] = ()  # rope coord rescale grid
 
     @property
     def heads(self) -> int:

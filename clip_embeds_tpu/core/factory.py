@@ -55,7 +55,7 @@ def create_model(
                 break
 
     if path is not None:
-        params = load_params(path)
+        params = load_params(path, vision_tower=cfg.vision.tower)
     else:
         params = init_params(model, cfg, seed=seed)
     return model, params
@@ -68,9 +68,9 @@ def init_params(model: CLIP, cfg: CLIPConfig, seed: int = 0) -> Dict[str, Any]:
     return variables["params"]
 
 
-def load_params(path: str) -> Dict[str, Any]:
+def load_params(path: str, vision_tower: Optional[str] = None) -> Dict[str, Any]:
     if path.endswith((".pt", ".pth", ".bin")):
-        return load_torch_checkpoint(path)
+        return load_torch_checkpoint(path, vision_tower=vision_tower)
     if path.endswith(".npz"):
         flat = dict(np.load(path))
         return unflatten_params(flat)

@@ -14,7 +14,7 @@ with (kh, kw, cin) row ordering, matching ``models.vit.patchify``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
@@ -71,10 +71,54 @@ def _count_layers(sd: Mapping[str, Any], prefix: str) -> int:
     return n
 
 
-def convert_clip_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
-    """open_clip CLIP state_dict -> flax params dict for models.clip.CLIP."""
+def convert_clip_state_dict(
+    sd: Mapping[str, Any], vision_tower: Optional[str] = None
+) -> Dict[str, Any]:
+    """open_clip CLIP state_dict -> flax params dict for models.clip.CLIP.
+
+    Handles the plain CLIP layout, the ModifiedResNet tower, and
+    CustomTextCLIP checkpoints with a timm trunk (visual.trunk.* + text.*,
+    the EVA01/EVA02 layout). EVA01 and EVA02-E share an identical key set
+    (fused qkv, plain MLP), so ``vision_tower`` ('eva' | 'eva02') picks the
+    converter when the keys alone are ambiguous."""
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
+
+    if "visual.trunk.patch_embed.proj.weight" in sd:  # CustomTextCLIP + timm
+        from ..models.eva import (
+            convert_eva02_trunk_state_dict,
+            convert_eva_trunk_state_dict,
+        )
+
+        eva02_keys = any(
+            ".attn.q_proj.weight" in k or ".mlp.fc1_g.weight" in k
+            or ".attn.norm.weight" in k
+            for k in sd
+        )
+        if vision_tower == "eva02" or (vision_tower is None and eva02_keys):
+            visual = convert_eva02_trunk_state_dict(sd)
+        else:
+            visual = convert_eva_trunk_state_dict(sd)
+        text_sd = {k[len("text."):]: v for k, v in sd.items()
+                   if k.startswith("text.")}
+        t_layers = _count_layers(text_sd, "transformer")
+        text = {
+            "token_embedding": {
+                "embedding": _np(text_sd["token_embedding.weight"])
+            },
+            "positional_embedding": _np(text_sd["positional_embedding"]),
+            "transformer": _transformer(text_sd, "transformer", t_layers),
+            "ln_final": _layernorm(text_sd, "ln_final"),
+            "text_projection": _np(text_sd["text_projection"]),
+        }
+        params: Dict[str, Any] = {
+            "visual": visual,
+            "text": text,
+            "logit_scale": _np(sd["logit_scale"]).reshape(()),
+        }
+        if "logit_bias" in sd:
+            params["logit_bias"] = _np(sd["logit_bias"]).reshape(())
+        return params
 
     t_layers = _count_layers(sd, "transformer")
 
@@ -111,14 +155,16 @@ def convert_clip_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return params
 
 
-def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+def load_torch_checkpoint(
+    path: str, vision_tower: Optional[str] = None
+) -> Dict[str, Any]:
     """Load a torch .pt/.pth checkpoint file and convert to flax params."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
-    return convert_clip_state_dict(ckpt)
+    return convert_clip_state_dict(ckpt, vision_tower=vision_tower)
 
 
 # -- Llama / LLaVA (HF layout) --------------------------------------------

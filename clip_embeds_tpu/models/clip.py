@@ -55,6 +55,13 @@ class CLIP(nn.Module):
                 self.cfg.vision, self.cfg.embed_dim, dtype=self.dtype,
                 attn_impl=self.attn_impl, remat=self.remat,
             )
+        elif self.cfg.vision.tower == "eva02":
+            from .eva import EVA02VisionTower
+
+            self.visual = EVA02VisionTower(
+                self.cfg.vision, self.cfg.embed_dim, dtype=self.dtype,
+                attn_impl=self.attn_impl, remat=self.remat,
+            )
         elif self.cfg.vision.tower == "convnext":
             from .convnext import ConvNeXtConfig, ConvNeXtTower
 
