@@ -102,3 +102,59 @@ def test_unsupported_towers_fail_loudly():
     assert "vitamin" in str(ei.value)
     with pytest.raises(KeyError):
         get_model_config("not-a-model")
+
+
+def test_download_pretrained_mocked(tmp_path, monkeypatch):
+    """Mocked download path (reference tests/test_download_pretrained.py):
+    URL resolution, cache writes, and cache short-circuiting — no network."""
+    import urllib.request
+
+    from clip_embeds_tpu.core.openclip_registry import (
+        download_pretrained,
+        get_pretrained_cfg,
+    )
+
+    calls = []
+
+    def fake_urlretrieve(url, target):
+        calls.append(url)
+        with open(target, "wb") as f:
+            f.write(b"ckpt")
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_urlretrieve)
+
+    cfg = get_pretrained_cfg("RN50", "openai")
+    assert cfg.get("url") or cfg.get("hf_hub")
+    if not cfg.get("url"):
+        pytest.skip("RN50/openai entry resolves via hf_hub only")
+    path = download_pretrained(cfg, cache_dir=str(tmp_path))
+    assert path.startswith(str(tmp_path))
+    assert open(path, "rb").read() == b"ckpt"
+    assert len(calls) == 1 and calls[0] == cfg["url"]
+
+    # second call hits the cache, no new download
+    assert download_pretrained(cfg, cache_dir=str(tmp_path)) == path
+    assert len(calls) == 1
+
+
+def test_download_pretrained_hf_hub_only_raises(tmp_path):
+    from clip_embeds_tpu.core.openclip_registry import download_pretrained
+
+    with pytest.raises(FileNotFoundError, match="hf_hub"):
+        download_pretrained({"hf_hub": "org/repo/"}, cache_dir=str(tmp_path))
+
+
+def test_pretrained_table_entries_resolvable():
+    """Every pretrained entry carries a weight source (url or hf_hub) —
+    the table integrity the reference's mocked download tests rely on."""
+    from clip_embeds_tpu.core.openclip_registry import (
+        get_pretrained_cfg,
+        list_pretrained,
+    )
+
+    missing = []
+    for arch, tag in list_pretrained():
+        cfg = get_pretrained_cfg(arch, tag)
+        if not (cfg.get("url") or cfg.get("hf_hub")):
+            missing.append((arch, tag))
+    assert not missing, missing[:10]
