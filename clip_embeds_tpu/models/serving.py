@@ -7,9 +7,11 @@ splits, head transposes, LN/GELU passes) disappears. Numerics match the
 composable path to bf16 tolerance; use for inference/serving only (the
 composable path owns training).
 
-The sequence is padded once to a 128-multiple before the block stack
-(kv_valid masks padded keys; padded query rows are discarded after), so all
-24 blocks run at a static MXU-friendly shape.
+The sequence is padded once to a 16-multiple (sublane alignment) before the
+block stack; the kernels pad k/v to the 128-aligned lane count internally and
+mask padded keys via kv_valid. Padded query rows are discarded after, so all
+24 blocks run at a static MXU-friendly shape without paying 577->640 lane
+padding in the projections/MLP.
 """
 
 from __future__ import annotations
@@ -57,7 +59,9 @@ def fused_encode_image(
         ln = p["ln_pre"]
         x = _ln_affine(x, ln["scale"], ln["bias"])
 
-    align = 8 if interpret else 128
+    # query rows only need sublane (16) alignment; the kernel zero-pads k/v
+    # to the 128-aligned lane count internally (ops/fused_block.py round 2)
+    align = 8 if interpret else 16
     n_pad = _round_up(n_valid, align)
     if n_pad != n_valid:
         x = jnp.pad(x, [(0, 0), (0, n_pad - n_valid), (0, 0)])
@@ -93,12 +97,12 @@ def fused_path_available(model) -> bool:
     cfg = model.cfg.vision
     if cfg.tower != "vit":
         return False
-    n = _round_up(cfg.num_patches + 1, 128)
+    n = _round_up(cfg.num_patches + 1, 16)
     if not fused_block_supported(n, cfg.width, cfg.heads, cfg.mlp_ratio):
         return False
     t = model.cfg.text
     return fused_block_supported(
-        _round_up(t.context_length, 128), t.width, t.heads, t.mlp_ratio
+        _round_up(t.context_length, 16), t.width, t.heads, t.mlp_ratio
     )
 
 
@@ -202,7 +206,9 @@ def fused_encode_image_int8(
         ln = p["ln_pre"]
         x = _ln_affine(x, ln["scale"], ln["bias"])
 
-    align = 8 if interpret else 128
+    # query rows only need sublane (16) alignment; the kernel zero-pads k/v
+    # to the 128-aligned lane count internally (ops/fused_block.py round 2)
+    align = 8 if interpret else 16
     n_pad = _round_up(n_valid, align)
     if n_pad != n_valid:
         x = jnp.pad(x, [(0, 0), (0, n_pad - n_valid), (0, 0)])
@@ -246,7 +252,9 @@ def fused_encode_text(
     n_valid = text_ids.shape[1]
     x = x + p["positional_embedding"][:n_valid].astype(dtype)
 
-    align = 8 if interpret else 128
+    # query rows only need sublane (16) alignment; the kernel zero-pads k/v
+    # to the 128-aligned lane count internally (ops/fused_block.py round 2)
+    align = 8 if interpret else 16
     n_pad = _round_up(n_valid, align)
     if n_pad != n_valid:
         x = jnp.pad(x, [(0, 0), (0, n_pad - n_valid), (0, 0)])

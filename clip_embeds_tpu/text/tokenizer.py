@@ -410,8 +410,104 @@ def simple_mask_tokenize(
     return result
 
 
+# A tiny self-contained POS bucketizer so the syntax reduction runs offline.
+# Maps a word to the reference's priority buckets (tokenizer.py:349-356):
+# 1 nouns, 2 adjectives, 3 verbs, 4 everything else. Suffix/lexicon
+# heuristics only — inject a real tagger (nltk pos_tag) for tagged parity.
+_FUNCTION_WORDS = frozenset(
+    "a an the and or but if of in on at to for with by from as is are was "
+    "were be been being am do does did done this that these those it its he "
+    "she they them his her their there here not no nor so than then over "
+    "under into out up down off about after before between during against "
+    "very too also just only".split()
+)
+_VERB_SUFFIXES = ("ing", "ed", "ify", "ize", "ise")
+_ADJ_SUFFIXES = ("ous", "ful", "less", "able", "ible", "ish", "ive", "al",
+                 "ic", "y")
+
+
+def simple_pos_tagger(tokens):
+    """[(token, tag)] with coarse NN/JJ/VB/XX tags (offline fallback)."""
+    out = []
+    for tok in tokens:
+        low = tok.lower()
+        if not tok[:1].isalpha():
+            tag = "XX"
+        elif low in _FUNCTION_WORDS:
+            tag = "XX"
+        elif low.endswith(_VERB_SUFFIXES):
+            tag = "VB"
+        elif low.endswith(_ADJ_SUFFIXES):
+            tag = "JJ"
+        else:
+            tag = "NN"  # content-word default: captions are noun-heavy
+        out.append((tok, tag))
+    return out
+
+
+def syntax_mask_tokenize(
+    texts,
+    tokenizer: "BPETokenizer",
+    context_length: Optional[int] = None,
+    pos_tag_fn=None,
+):
+    """Keep nouns > adjectives > verbs > rest, then tokenize
+    (reference tokenizer.py:330-389 syntax_mask_tokenize).
+
+    ``pos_tag_fn(tokens) -> [(token, tag), ...]`` defaults to nltk's
+    pos_tag when its data is installed (the reference downloads punkt +
+    averaged_perceptron_tagger at first use) and otherwise to the
+    self-contained ``simple_pos_tagger`` above, so the path works in
+    zero-egress environments.
+    """
+    import numpy as np
+
+    if isinstance(texts, str):
+        texts = [texts]
+    context_length = context_length or tokenizer.context_length
+    sot, eot = tokenizer.sot_token_id, tokenizer.eot_token_id
+
+    if pos_tag_fn is None:
+        try:
+            import nltk
+
+            nltk.tokenize.word_tokenize("probe")  # raises without data
+            word_tokenize = nltk.tokenize.word_tokenize
+            pos_tag_fn = nltk.pos_tag
+        except Exception:
+            word_tokenize = None
+            pos_tag_fn = simple_pos_tagger
+    else:
+        word_tokenize = None
+
+    def get_order(tag: str) -> int:
+        if tag.startswith("NN"):
+            return 1
+        if tag.startswith("JJ"):
+            return 2
+        if tag.startswith("VB"):
+            return 3
+        return 4
+
+    result = np.zeros((len(texts), context_length), np.int32)
+    for i, text in enumerate(texts):
+        words = (word_tokenize(text) if word_tokenize is not None
+                 else text.split())
+        tags = pos_tag_fn(words)
+        order = np.asarray([get_order(tag) for _, tag in tags])
+        sorted_ids = np.argsort(order, kind="stable")
+        sampled_ids = sorted(sorted_ids[: context_length - 2].tolist())
+        sampled = [words[j] for j in sampled_ids]
+        tokens = [sot] + tokenizer.encode(" ".join(sampled)) + [eot]
+        if len(tokens) > context_length:
+            tokens = tokens[:context_length]
+            tokens[-1] = eot
+        result[i, : len(tokens)] = tokens
+    return result
+
+
 def get_reduction_mask_fn(kind: str):
-    """reference tokenizer.py:390-400 ('syntax' needs spacy; gate)."""
+    """reference tokenizer.py:390-400 reduction-mask dispatch."""
     from functools import partial
 
     if kind == "simple":
@@ -420,4 +516,6 @@ def get_reduction_mask_fn(kind: str):
         return random_mask_tokenize
     if kind == "shuffle":
         return partial(random_mask_tokenize, shuffle=True)
+    if kind == "syntax":
+        return syntax_mask_tokenize
     raise ValueError(f"unsupported reduction mask: {kind}")

@@ -1,0 +1,268 @@
+"""Round-2b: combine the exp_fastattn winners + measure non-block overhead.
+
+exp_fastattn.py found: nomax (static-C softmax) -8.4%; n592 (592 query rows,
+640 kv) and rows2 (2 seqs/program) each ~-1 ms on top; int8 qk/pv a wash.
+Variants here (all int8 weights, bf16 attention):
+
+  nomax       — repro from exp_fastattn (19.50)
+  combo       — nomax + n592 + rows2
+  combo_bf16e — combo with the exp computed on bf16-cast logits
+  prelude     — the non-block serving overhead at ViT-L shapes: on-device
+                uint8 preprocess -> patchify matmul -> cls/pos/ln -> pad,
+                then pool+ln+proj+normalize (what sits around the 24 blocks
+                in fused_encode_image_int8)
+
+Run: python perf/experiments/exp_fastattn2.py [variant ...]
+"""
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+B, D, H = 256, 1024, 16
+HD = D // H
+L = 24
+KV_VALID = 577
+MLP = 4 * D
+C_LOGIT = 12.0
+
+
+def _ln_f32(x, g):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    return (x32 - mu) * jax.lax.rsqrt(var + 1e-5) * g.astype(jnp.float32)
+
+
+def _qdot(x32, a_scale, wq_ref, wscale_ref):
+    xq = jnp.clip(jnp.round(x32 / a_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (a_scale * wscale_ref[0])
+
+
+def _block_kernel(
+    x_ref, wqkv_ref, sqkv_ref, wo_ref, so_ref, w1_ref, s1_ref,
+    w2_ref, s2_ref, g1_ref, g2_ref, ascale_ref, brow_ref, o_ref,
+    *, rows, n_kv, bf16_exp,
+):
+    for r in range(rows):
+        x = x_ref[r]
+        n, d = x.shape
+        a = ascale_ref[0]
+        brow = brow_ref[0:1, 0, :]
+
+        h32 = _ln_f32(x, g1_ref[0])
+        qkv = _qdot(h32, a[0], wqkv_ref, sqkv_ref).astype(x.dtype)
+        if n_kv > n:
+            pad = jnp.zeros((n_kv - n, 2 * d), x.dtype)
+            kv = jnp.concatenate([qkv[:, d:], pad], axis=0)  # [n_kv, 2d]
+        else:
+            kv = qkv[:, d:]
+
+        outs = []
+        for g in range(H):
+            q = qkv[:, g * HD:(g + 1) * HD]
+            k = kv[:, g * HD:(g + 1) * HD]
+            v = kv[:, d + g * HD:d + (g + 1) * HD]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if bf16_exp:
+                p16 = jnp.exp((s + brow).astype(jnp.bfloat16))
+                l = jnp.sum(p16.astype(jnp.float32), axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    p16, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                p = jnp.exp(s + brow)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            outs.append((o / l).astype(x.dtype))
+        att = jnp.concatenate(outs, axis=-1)
+
+        x = x + _qdot(att.astype(jnp.float32), a[1], wo_ref,
+                      so_ref).astype(x.dtype)
+        h32 = _ln_f32(x, g2_ref[0])
+        m1 = _qdot(h32, a[2], w1_ref, s1_ref)
+        m1 = m1 * jax.nn.sigmoid(1.702 * m1)
+        x = x + _qdot(m1, a[3], w2_ref, s2_ref).astype(x.dtype)
+        o_ref[r] = x
+
+
+def fused_block_v(x, p, rows=1, n_kv=None, bf16_exp=False):
+    b, n, d = x.shape
+    n_kv = n_kv or n
+
+    def const(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_block_kernel, rows=rows, n_kv=n_kv,
+                          bf16_exp=bf16_exp),
+        grid=(b // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, n, d), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((d, 3 * d)), const((1, 3 * d)),
+            const((d, d)), const((1, d)),
+            const((d, MLP)), const((1, MLP)),
+            const((MLP, d)), const((1, d)),
+            const((1, d)), const((1, d)),
+            const((1, 4)),
+            const((1, 1, n_kv)),
+        ],
+        out_specs=pl.BlockSpec((rows, n, d), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (12 * d * d + 2 * n_kv * d),
+            bytes_accessed=2 * b * n * d * 2,
+            transcendentals=b * H * n * n_kv,
+        ),
+    )(x, p["wqkv_q"], p["sqkv"], p["wo_q"], p["so"], p["w1_q"], p["s1"],
+      p["w2_q"], p["s2"], p["g1"].reshape(1, -1), p["g2"].reshape(1, -1),
+      p["ascale"].reshape(1, 4), p["brow"][:n_kv].reshape(1, 1, -1))
+
+
+def quantize(w):
+    w = np.asarray(w, np.float32)
+    s = np.abs(w).max(axis=0) / 127.0
+    s = np.where(s == 0, 1.0, s)
+    q = np.clip(np.rint(w / s), -127, 127)
+    return jnp.asarray(q, jnp.int8), jnp.asarray(s, jnp.float32)
+
+
+def make_params(key, n_kv, l=L):
+    ks = jax.random.split(key, l * 4)
+    sc = 0.02
+    out = []
+    brow = np.where(np.arange(n_kv) < KV_VALID, 0.0, NEG_INF) - C_LOGIT
+    for i in range(l):
+        p = {}
+        p["wqkv_q"], s = quantize(
+            np.asarray(jax.random.normal(ks[4 * i], (D, 3 * D))) * sc)
+        p["sqkv"] = s.reshape(1, -1)
+        p["wo_q"], s = quantize(
+            np.asarray(jax.random.normal(ks[4 * i + 1], (D, D))) * sc)
+        p["so"] = s.reshape(1, -1)
+        p["w1_q"], s = quantize(
+            np.asarray(jax.random.normal(ks[4 * i + 2], (D, MLP))) * sc)
+        p["s1"] = s.reshape(1, -1)
+        p["w2_q"], s = quantize(
+            np.asarray(jax.random.normal(ks[4 * i + 3], (MLP, D))) * sc)
+        p["s2"] = s.reshape(1, -1)
+        p["g1"] = jnp.ones((D,), jnp.bfloat16)
+        p["g2"] = jnp.ones((D,), jnp.bfloat16)
+        p["ascale"] = jnp.asarray([0.04, 0.01, 0.04, 0.02], jnp.float32)
+        p["brow"] = jnp.asarray(brow, jnp.float32)
+        out.append(p)
+    return out
+
+
+def _time_loop(fn, *args, iters=10):
+    @functools.partial(jax.jit, static_argnames="iters")
+    def loop(args, iters):
+        def body(_, salt):
+            out = fn(*args, salt)
+            return out.reshape(-1)[0].astype(jnp.float32) * 1e-6
+        return jax.lax.fori_loop(0, iters, body, jnp.asarray(1e-6))
+
+    float(loop(args, 1))
+    float(loop(args, iters))
+    t0 = time.perf_counter(); float(loop(args, 1))
+    ts = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(loop(args, iters))
+    tl = time.perf_counter() - t0
+    return (tl - ts) / (iters - 1)
+
+
+def bench_blocks(name, rows, n_q, n_kv, bf16_exp):
+    params = make_params(jax.random.PRNGKey(0), n_kv)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, n_q, D), jnp.bfloat16)
+
+    def model(params, x, salt):
+        x = x + salt.astype(x.dtype)
+        for p in params:
+            x = fused_block_v(x, p, rows=rows, n_kv=n_kv, bf16_exp=bf16_exp)
+        return x
+
+    per = _time_loop(model, params, x)
+    print(f"{name:12s}: {per * 1000 / L:6.2f} ms/layer "
+          f"-> blocks-only {B / per:,.0f} img/s", flush=True)
+
+
+def bench_prelude():
+    """Everything around the 24 blocks at ViT-L/14-336 serving shapes."""
+    patch = 14
+    grid = 336 // patch          # 24 -> 576 patches
+    n_q = 592
+    wpatch = jax.random.normal(jax.random.PRNGKey(0),
+                               (patch * patch * 3, D), jnp.bfloat16) * 0.02
+    cls = jax.random.normal(jax.random.PRNGKey(1), (D,), jnp.bfloat16)
+    pos = jax.random.normal(jax.random.PRNGKey(2), (577, D), jnp.bfloat16)
+    g = jnp.ones((D,), jnp.bfloat16)
+    proj = jax.random.normal(jax.random.PRNGKey(3), (D, 768),
+                             jnp.bfloat16) * 0.02
+    raw = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (B, 336, 336, 3), dtype=np.uint8))
+    mean = jnp.asarray([0.48, 0.46, 0.41], jnp.bfloat16)
+    std = jnp.asarray([0.27, 0.26, 0.28], jnp.bfloat16)
+
+    def prelude(raw, salt):
+        img = (raw.astype(jnp.bfloat16) / 255.0 - mean) / std
+        img = img + salt.astype(jnp.bfloat16)
+        x = img.reshape(B, grid, patch, grid, patch, 3)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, grid * grid, -1)
+        x = x @ wpatch
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, D)), x], axis=1)
+        x = x + pos
+        x = _ln_f32(x.reshape(-1, D), g).astype(jnp.bfloat16)
+        x = x.reshape(B, 577, D)
+        x = jnp.pad(x, [(0, 0), (0, n_q - 577), (0, 0)])
+        # post: pool + ln + proj + normalize (cheap, same fn for timing)
+        pooled = x[:, 0]
+        pooled = _ln_f32(pooled, g).astype(jnp.bfloat16)
+        out = pooled @ proj
+        out = out / jnp.linalg.norm(out.astype(jnp.float32), axis=-1,
+                                    keepdims=True).astype(jnp.bfloat16)
+        return out
+
+    per = _time_loop(prelude, raw)
+    print(f"prelude     : {per * 1000:6.2f} ms total for batch {B} "
+          f"({per * 1e6 / B:,.0f} us/img)", flush=True)
+
+
+if __name__ == "__main__":
+    variants = sys.argv[1:] or ["nomax", "combo", "combo_bf16e", "prelude"]
+    for v in variants:
+        try:
+            if v == "nomax":
+                bench_blocks(v, rows=1, n_q=640, n_kv=640, bf16_exp=False)
+            elif v == "combo":
+                bench_blocks(v, rows=2, n_q=592, n_kv=640, bf16_exp=False)
+            elif v == "combo_bf16e":
+                bench_blocks(v, rows=2, n_q=592, n_kv=640, bf16_exp=True)
+            elif v == "prelude":
+                bench_prelude()
+        except Exception as e:
+            print(f"{v:12s}: FAILED {type(e).__name__}: {e}", flush=True)

@@ -73,3 +73,23 @@ def test_static_calibration_matches_dynamic():
     # static params carry calibrated scalars
     blk = sparams["visual"]["transformer"]["resblocks_0"]
     assert float(blk["attn"]["in_proj"]["act_scale"]) > 0
+
+
+def test_validate_int8_cli(tmp_path):
+    """Cross-distribution int8-vs-bf16 validation CLI on the tiny model."""
+    from clip_embeds_tpu.cli.validate_int8 import main
+
+    out = tmp_path / "report.json"
+    report = main([
+        "--model", "test-tiny", "--batch-size", "8",
+        "--distributions", "noise,smooth",
+        "--min-cos", "0.95", "--min-agreement", "0.5",
+        "--out", str(out),
+    ])
+    assert len(report["pairs"]) == 4
+    for row in report["pairs"]:
+        assert row["cos_mean"] > 0.95
+    assert report["pass"] is True
+    import json
+
+    assert json.load(open(out))["pass"] is True

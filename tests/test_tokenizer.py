@@ -291,3 +291,62 @@ def test_siglip_tokenizer_end_to_end(tmp_path):
     # truncation leaves room for </s>
     long = tok(["the cat " * 50])
     assert long.shape == (1, 16) and long[0, -1] == 1
+
+
+def test_syntax_mask_tokenize_matches_reference_algorithm():
+    """syntax_mask_tokenize vs an inline oracle of the reference algorithm
+    (tokenizer.py:330-389) with an injected deterministic tagger."""
+    import numpy as np
+
+    from clip_embeds_tpu.text.tokenizer import (
+        BPETokenizer,
+        get_reduction_mask_fn,
+        syntax_mask_tokenize,
+    )
+
+    tok = BPETokenizer(context_length=12)
+    TAGS = {"red": "JJ", "cat": "NN", "sat": "VBD", "mat": "NN",
+            "quickly": "RB", "big": "JJ", "dog": "NN", "ran": "VBD",
+            "tree": "NN", "river": "NN", "bank": "NN", "old": "JJ"}
+
+    def tagger(tokens):
+        return [(t, TAGS.get(t, "XX")) for t in tokens]
+
+    text = ("the red cat sat quickly on the big mat while the dog ran "
+            "around the old tree near a river bank today")
+
+    got = syntax_mask_tokenize([text], tok, pos_tag_fn=tagger)
+
+    # inline oracle (reference semantics): order buckets, stable argsort,
+    # keep first ctx-2, restore order, re-tokenize
+    words = text.split()
+    order = []
+    for w, tag in tagger(words):
+        if tag.startswith("NN"):
+            order.append(1)
+        elif tag.startswith("JJ"):
+            order.append(2)
+        elif tag.startswith("VB"):
+            order.append(3)
+        else:
+            order.append(4)
+    ids = sorted(np.argsort(np.asarray(order), kind="stable")[:10].tolist())
+    expected_text = " ".join(words[j] for j in ids)
+    toks = [tok.sot_token_id] + tok.encode(expected_text) + [tok.eot_token_id]
+    if len(toks) > 12:
+        toks = toks[:12]
+        toks[-1] = tok.eot_token_id
+    expected = np.zeros((1, 12), np.int32)
+    expected[0, : len(toks)] = toks
+    np.testing.assert_array_equal(got, expected)
+
+    # high-priority words survive: cat/mat/dog (nouns) must be in the kept set
+    kept = [words[j] for j in ids]
+    assert {"cat", "mat", "dog"} <= set(kept)
+    assert "quickly" not in kept  # adverb drops first
+
+    # dispatch + offline fallback tagger path
+    fn = get_reduction_mask_fn("syntax")
+    out = fn([text], tok)
+    assert out.shape == (1, 12) and out[0, 0] == tok.sot_token_id
+    assert (out == tok.eot_token_id).any()
