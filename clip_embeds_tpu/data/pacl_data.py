@@ -33,17 +33,26 @@ PROMPT_TEMPLATES = (
     "a good photo of {}.",
 )
 
-# determiner/possessive? adjectives* nouns+ — a cheap noun-chunk approximation
-_NP_PATTERN = re.compile(
-    r"\b(?:(?:the|a|an|his|her|its|their|some|two|three|many|several)\s+)?"
-    r"(?:[a-z]+(?:ed|ing|ful|ous|ish|y|al|ive|en)\s+){0,2}"
-    r"[a-z]+(?:\s+[a-z]+)?\b"
-)
-
-_STOP_HEADS = {
-    "is", "are", "was", "were", "be", "been", "being", "on", "in", "at",
-    "of", "with", "and", "or", "to", "from", "by", "for", "near", "under",
-    "over", "behind", "front", "that", "this", "it", "there",
+# Rule-based base-NP chunker approximating spacy noun_chunks without the
+# dependency (reference data/image_caption_data.py uses en_core_web_sm).
+# Grammar per chunk: [det/poss/num]? [adjective]* [noun]+ — built over the
+# lexicon POS bucketizer shared with the syntax reduction mask. Divergence
+# vs hand-annotated spacy-convention chunks is quantified by
+# tests/test_data.py::test_regex_chunker_divergence_vs_gold_fixture.
+_DETS = {
+    "the", "a", "an", "his", "her", "its", "their", "my", "your", "our",
+    "some", "any", "no", "each", "every", "this", "that", "these", "those",
+    "one", "two", "three", "four", "five", "six", "many", "several", "few",
+    "both", "all",
+}
+# verbs/adverbs/preps the lexicon tagger may miss in caption text
+_NON_NOUN = {
+    "riding", "sitting", "standing", "holding", "wearing", "eating",
+    "playing", "walking", "running", "flying", "looking", "grazing",
+    "swinging", "rising", "traveling", "preparing", "docked", "stopped",
+    "arranged", "parked", "filled", "covered", "next", "top", "front",
+    "close", "very", "around", "across", "while", "above", "below",
+    "beside", "behind", "toward", "towards",
 }
 
 
@@ -58,16 +67,45 @@ def _spacy_chunker() -> Optional[Callable[[str], List[str]]]:
 
 
 def regex_noun_phrases(caption: str) -> List[str]:
-    text = caption.lower()
-    out = []
-    for m in _NP_PATTERN.finditer(text):
-        phrase = m.group(0).strip()
-        words = phrase.split()
-        if not words or words[-1] in _STOP_HEADS or words[0] in _STOP_HEADS:
-            continue
-        if len(words[-1]) < 3:
-            continue
-        out.append(phrase)
+    """Base noun phrases of a caption (spacy noun_chunks approximation)."""
+    from ..text.tokenizer import simple_pos_tagger
+
+    words = re.findall(r"[a-z]+", caption.lower())
+    tags = dict(zip(range(len(words)), simple_pos_tagger(words)))
+
+    def is_noun(i: int) -> bool:
+        w = words[i]
+        return (tags[i][1] == "NN" and w not in _DETS
+                and w not in _NON_NOUN and len(w) > 1)
+
+    def is_adj(i: int) -> bool:
+        w = words[i]
+        return ((tags[i][1] == "JJ" or w in ("tall", "large", "small", "big",
+                                             "old", "new", "red", "blue",
+                                             "green", "yellow", "white",
+                                             "black", "fresh", "busy",
+                                             "little", "wooden", "crowded",
+                                             "distant"))
+                and w not in _NON_NOUN)
+
+    out: List[str] = []
+    i = 0
+    n = len(words)
+    while i < n:
+        start = i
+        if words[i] in _DETS:
+            i += 1
+        run_start = i
+        while i < n and (is_noun(i) or is_adj(i)):
+            i += 1
+        # head = last word of the modifier/noun run (a trailing adjective is
+        # promoted to head — caption nouns like 'table' carry -able/-y
+        # suffixes the lexicon tagger reads as adjectives)
+        if i > run_start and words[i - 1] not in _NON_NOUN \
+                and len(words[i - 1]) > 2:
+            out.append(" ".join(words[start:i]))
+        elif i == start:
+            i += 1  # nothing matched here; advance
     return out
 
 
