@@ -144,7 +144,11 @@ def llama3_8b_config() -> LlamaConfig:
 def _llava_cfg(name: str) -> LlavaConfig:
     from ..models.phi3 import phi3_mini_config
 
-    if name in ("llava-v1.5-13b", "sharegpt4v-13b"):
+    # llava-v1.6-13b scores with image_aspect_ratio='pad' in the reference
+    # (llava16_model.py:41,103-106): a single square 336px image through the
+    # plain splice path — identical to LLaVA-1.5 at score time, so it shares
+    # the Llava backbone with the vicuna-13b trunk.
+    if name in ("llava-v1.5-13b", "sharegpt4v-13b", "llava-v1.6-13b"):
         return LlavaConfig(llama=llama_13b_config())
     if name == "llava-phi-3":
         return LlavaConfig(llama=phi3_mini_config())
@@ -177,11 +181,12 @@ def default_model_config(name: str):
         CLIP_T5_MODELS,
         IMAGE_REWARD_MODELS,
         INSTRUCTBLIP_MODELS,
+        LLAVA16_MODELS,
         LLAVA_LLAMA_MODELS,
         LLAVA_MODELS,
     )
 
-    if name in LLAVA_MODELS + LLAVA_LLAMA_MODELS:
+    if name in LLAVA_MODELS + LLAVA_LLAMA_MODELS + LLAVA16_MODELS:
         return _llava_cfg(name)
     if name in CLIP_T5_MODELS:
         size = "xl" if name == "clip-flant5-xl" else "xxl"
@@ -215,6 +220,7 @@ VQA_CONVERSATIONS = {
     "llava-v1.5-13b": "chat", "llava-v1.5-7b": "chat",
     "sharegpt4v-7b": "chat", "sharegpt4v-13b": "chat",
     "llava-phi-3": "phi3_instruct", "llava-llama-3": "llama3",
+    "llava-v1.6-13b": "chat",
     "clip-flant5-xxl": "t5_chat", "clip-flant5-xl": "t5_chat",
     "clip-flant5-xxl-no-system": "t5_chat_no_system",
     "clip-flant5-xxl-no-system-no-user": "t5_chat_no_system_no_user",
@@ -247,6 +253,7 @@ def build_score_model(
         GPT4V_MODELS,
         IMAGE_REWARD_MODELS,
         INSTRUCTBLIP_MODELS,
+        LLAVA16_MODELS,
         LLAVA_LLAMA_MODELS,
         LLAVA_MODELS,
     )
@@ -283,7 +290,7 @@ def build_score_model(
             f"tokenizer dir at <bundle>/tokenizer"
         )
 
-    if name in LLAVA_MODELS + LLAVA_LLAMA_MODELS:
+    if name in LLAVA_MODELS + LLAVA_LLAMA_MODELS + LLAVA16_MODELS:
         from ..models.llava import Llava
         from .score import VQAScore
 

@@ -79,11 +79,6 @@ def get_score_model(
         m, params = create_model(arch, checkpoint or tag,
                                  dtype=jnp.bfloat16)
         return CLIPScore(m, params, **kwargs)
-    if model in LLAVA16_MODELS:
-        raise NotImplementedError(
-            f"{model!r} (LLaVA-1.6 AnyRes VQAScore) has no scorer pipeline "
-            "yet; the LlavaNext backbone exists in models/llava_next.py"
-        )
     if model in GPT4V_MODELS or model in (
         list_all_vqascore_models() + list_all_itmscore_models()
         + BLIP2_ITC_MODELS

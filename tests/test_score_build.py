@@ -117,7 +117,7 @@ def _img():
 
 @pytest.mark.parametrize("name,style", [
     ("llava-v1.5-7b", "chat"), ("llava-phi-3", "phi3_instruct"),
-    ("llava-llama-3", "llama3"),
+    ("llava-llama-3", "llama3"), ("llava-v1.6-13b", "chat"),
 ])
 @pytest.mark.slow
 def test_get_score_model_llava_family(tmp_path, name, style):
