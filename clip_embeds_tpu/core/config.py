@@ -18,7 +18,7 @@ class VisionConfig:
     patch_size: int = 16
     width: int = 768
     layers: int = 12
-    tower: str = "vit"  # 'vit' | 'resnet' | 'eva' | 'eva02' | 'convnext'
+    tower: str = "vit"  # 'vit' | 'resnet' | 'eva' | 'eva02' | 'convnext' | 'vitamin'
     resnet_layers: Tuple[int, ...] = ()  # ModifiedResNet stage depths
     convnext_depths: Tuple[int, ...] = ()  # ConvNeXt stage depths
     convnext_dims: Tuple[int, ...] = ()    # ConvNeXt stage widths
@@ -34,6 +34,10 @@ class VisionConfig:
     eva_attn_inner_norm: bool = False   # LN on attn output before out-proj
     eva_post_norm: bool = False         # post-norm blocks (EVA02-E)
     eva_ref_feat_shape: Tuple[int, int] = ()  # rope coord rescale grid
+    # ViTamin hybrid tower (models/vitamin.py): MbConv stage dims/depths;
+    # width/layers/head_width/mlp_ratio describe the stage-3 ViT
+    vitamin_mbconv_dims: Tuple[int, int] = ()
+    vitamin_mbconv_depths: Tuple[int, int] = ()
 
     @property
     def heads(self) -> int:

@@ -84,21 +84,30 @@ def convert_clip_state_dict(
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
 
-    if "visual.trunk.patch_embed.proj.weight" in sd:  # CustomTextCLIP + timm
-        from ..models.eva import (
-            convert_eva02_trunk_state_dict,
-            convert_eva_trunk_state_dict,
-        )
+    is_timm_trunk = ("visual.trunk.patch_embed.proj.weight" in sd
+                     or "visual.trunk.patch_embed.backbone.stem.conv1.weight"
+                     in sd)
+    if is_timm_trunk:  # CustomTextCLIP + timm trunk
+        if "visual.trunk.patch_embed.backbone.stem.conv1.weight" in sd:
+            from ..models.vitamin import convert_vitamin_trunk_state_dict
 
-        eva02_keys = any(
-            ".attn.q_proj.weight" in k or ".mlp.fc1_g.weight" in k
-            or ".attn.norm.weight" in k
-            for k in sd
-        )
-        if vision_tower == "eva02" or (vision_tower is None and eva02_keys):
-            visual = convert_eva02_trunk_state_dict(sd)
+            visual = convert_vitamin_trunk_state_dict(sd)
         else:
-            visual = convert_eva_trunk_state_dict(sd)
+            from ..models.eva import (
+                convert_eva02_trunk_state_dict,
+                convert_eva_trunk_state_dict,
+            )
+
+            eva02_keys = any(
+                ".attn.q_proj.weight" in k or ".mlp.fc1_g.weight" in k
+                or ".attn.norm.weight" in k
+                for k in sd
+            )
+            if vision_tower == "eva02" or (
+                    vision_tower is None and eva02_keys):
+                visual = convert_eva02_trunk_state_dict(sd)
+            else:
+                visual = convert_eva_trunk_state_dict(sd)
         text_sd = {k[len("text."):]: v for k, v in sd.items()
                    if k.startswith("text.")}
         t_layers = _count_layers(text_sd, "transformer")

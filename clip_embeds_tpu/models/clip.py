@@ -62,6 +62,20 @@ class CLIP(nn.Module):
                 self.cfg.vision, self.cfg.embed_dim, dtype=self.dtype,
                 attn_impl=self.attn_impl, remat=self.remat,
             )
+        elif self.cfg.vision.tower == "vitamin":
+            from .vitamin import VitaminConfig, VitaminTower
+
+            v = self.cfg.vision
+            self.visual = VitaminTower(
+                VitaminConfig(
+                    image_size=v.image_size,
+                    mbconv_dims=tuple(v.vitamin_mbconv_dims),
+                    mbconv_depths=tuple(v.vitamin_mbconv_depths),
+                    width=v.width, depth=v.layers, heads=v.heads,
+                    mlp_ratio=v.mlp_ratio, embed_dim=self.cfg.embed_dim,
+                ),
+                dtype=self.dtype, remat=self.remat,
+            )
         elif self.cfg.vision.tower == "convnext":
             from .convnext import ConvNeXtConfig, ConvNeXtTower
 

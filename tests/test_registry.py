@@ -98,8 +98,9 @@ def test_pretrained_cfg_api():
 
 def test_unsupported_towers_fail_loudly():
     with pytest.raises(NotImplementedError) as ei:
-        get_model_config("ViTamin-L-336")
-    assert "vitamin" in str(ei.value)
+        get_model_config("MobileCLIP-B")
+    assert "mci" in str(ei.value).lower() or "fastvit" in str(ei.value).lower() \
+        or "timm tower" in str(ei.value)
     with pytest.raises(KeyError):
         get_model_config("not-a-model")
 
