@@ -62,6 +62,22 @@ class CLIP(nn.Module):
                 self.cfg.vision, self.cfg.embed_dim, dtype=self.dtype,
                 attn_impl=self.attn_impl, remat=self.remat,
             )
+        elif self.cfg.vision.tower == "timm-vit":
+            from .timm_vit import TimmViTConfig, TimmViTTower
+
+            v = self.cfg.vision
+            self.visual = TimmViTTower(
+                TimmViTConfig(
+                    image_size=v.image_size, patch_size=v.patch_size,
+                    width=v.width, depth=v.layers, heads=v.heads,
+                    mlp_ratio=v.mlp_ratio,
+                    class_token=(v.pool_type == "tok"),
+                    pool=("token" if v.pool_type == "tok" else "avg"),
+                    fc_norm=v.final_ln_after_pool,
+                    embed_dim=self.cfg.embed_dim,
+                ),
+                dtype=self.dtype, remat=self.remat,
+            )
         elif self.cfg.vision.tower == "vitamin":
             from .vitamin import VitaminConfig, VitaminTower
 
