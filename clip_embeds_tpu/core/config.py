@@ -18,7 +18,7 @@ class VisionConfig:
     patch_size: int = 16
     width: int = 768
     layers: int = 12
-    tower: str = "vit"  # 'vit' | 'resnet' | 'eva' | 'eva02' | 'convnext' | 'vitamin'
+    tower: str = "vit"  # 'vit'|'resnet'|'eva'|'eva02'|'convnext'|'vitamin'|'timm-vit'|'swin'
     resnet_layers: Tuple[int, ...] = ()  # ModifiedResNet stage depths
     convnext_depths: Tuple[int, ...] = ()  # ConvNeXt stage depths
     convnext_dims: Tuple[int, ...] = ()    # ConvNeXt stage widths
@@ -38,6 +38,10 @@ class VisionConfig:
     # width/layers/head_width/mlp_ratio describe the stage-3 ViT
     vitamin_mbconv_dims: Tuple[int, int] = ()
     vitamin_mbconv_depths: Tuple[int, int] = ()
+    # Swin tower (models/swin.py): width = stage-0 embed dim
+    swin_depths: Tuple[int, ...] = ()
+    swin_heads: Tuple[int, ...] = ()
+    swin_window: int = 7
 
     @property
     def heads(self) -> int:

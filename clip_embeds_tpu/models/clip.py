@@ -78,6 +78,19 @@ class CLIP(nn.Module):
                 ),
                 dtype=self.dtype, remat=self.remat,
             )
+        elif self.cfg.vision.tower == "swin":
+            from .swin import SwinConfig, SwinTower
+
+            v = self.cfg.vision
+            self.visual = SwinTower(
+                SwinConfig(
+                    image_size=v.image_size, patch_size=v.patch_size,
+                    embed_dim=v.width, depths=tuple(v.swin_depths),
+                    heads=tuple(v.swin_heads), window=v.swin_window,
+                    mlp_ratio=v.mlp_ratio, out_dim=self.cfg.embed_dim,
+                ),
+                dtype=self.dtype, remat=self.remat,
+            )
         elif self.cfg.vision.tower == "vitamin":
             from .vitamin import VitaminConfig, VitaminTower
 
