@@ -111,11 +111,14 @@ def main() -> None:
         )
 
         # one-time calibration prep on host CPU (the dynamic-quant
-        # observation model compiles pathologically slowly over the tunnel)
+        # observation model compiles pathologically slowly over the tunnel);
+        # 16 images suffice for the abs-max statistics and keep the CPU
+        # forward of the ViT-L observation model cheap
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             calib = np.asarray(jax_preprocess(
-                jnp.asarray(np.asarray(raw)), size, "clip", jnp.float32))
+                jnp.asarray(np.asarray(raw)[:16]), size, "clip",
+                jnp.float32))
             qtower = prepare_int8_tower(
                 model, jax.device_get(params), jnp.asarray(calib)
             )
