@@ -67,6 +67,10 @@ class CustomTextCLIPConfig:
     pooler: str = "mean"       # hf_pooler_type mean_pooler
     quick_gelu: bool = False
     init_logit_scale: float = 2.6592
+    init_logit_bias: Optional[float] = None  # SigLIP-style pairing bias
+    # nllb-clip-*-siglip hybrids: SigLIP MAP-pooled vision trunk with
+    # timm_proj 'none' (the MAP head output IS the embedding)
+    siglip_vision: Optional[Any] = None      # models.siglip.SiglipVisionConfig
 
 
 class CustomTextCLIP(nn.Module):
@@ -77,10 +81,18 @@ class CustomTextCLIP(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.visual = VisionTransformer(
-            cfg.vision, cfg.embed_dim, cfg.quick_gelu, dtype=self.dtype,
-            attn_impl=self.attn_impl, remat=self.remat,
-        )
+        if cfg.siglip_vision is not None:
+            from .siglip import SiglipVisionTower
+
+            self.visual = SiglipVisionTower(
+                cfg.siglip_vision, dtype=self.dtype,
+                attn_impl=self.attn_impl,
+            )
+        else:
+            self.visual = VisionTransformer(
+                cfg.vision, cfg.embed_dim, cfg.quick_gelu, dtype=self.dtype,
+                attn_impl=self.attn_impl, remat=self.remat,
+            )
         shape = dict(HF_TEXT_SHAPES[cfg.hf_model_name])
         kind = shape.pop("kind")
         if kind == "t5":
@@ -104,9 +116,17 @@ class CustomTextCLIP(nn.Module):
             "logit_scale",
             nn.initializers.constant(cfg.init_logit_scale), (),
         )
+        if cfg.init_logit_bias is not None:
+            self.logit_bias = self.param(
+                "logit_bias",
+                nn.initializers.constant(cfg.init_logit_bias), (),
+            )
+        else:
+            self.logit_bias = None
 
     def encode_image(self, images: jax.Array, normalize: bool = False):
-        pooled, _ = self.visual(images)
+        out = self.visual(images)
+        pooled = out[0] if isinstance(out, tuple) else out
         return l2_normalize(pooled) if normalize else pooled
 
     def encode_text(
@@ -133,6 +153,8 @@ class CustomTextCLIP(nn.Module):
             out["text_features"] = self.encode_text(
                 input_ids, attention_mask, normalize=True
             )
+        if self.logit_bias is not None:
+            out["logit_bias"] = self.logit_bias
         return out
 
 
@@ -148,13 +170,28 @@ def build_custom_text_clip(
         raise NotImplementedError(f"{name!r} is not an hf-text config")
     raw = get_raw_model_config(name)
     v = raw["vision_cfg"]
-    vision = VisionConfig(
-        image_size=v.get("image_size", 224),
-        patch_size=v.get("patch_size", 16),
-        width=v.get("width", 768),
-        layers=v.get("layers", 12),
-        head_width=v.get("head_width", 64),
-    )
+    siglip_vision = None
+    if v.get("timm_model_name", "").find("siglip") >= 0:
+        # nllb-clip-*-siglip hybrid: SigLIP vision trunk (MAP pool, no proj)
+        from ..core.openclip_registry import _parse_timm_siglip
+        from .siglip import SiglipVisionConfig
+
+        shape = _parse_timm_siglip(v["timm_model_name"])
+        siglip_vision = SiglipVisionConfig(
+            image_size=v.get("image_size", shape["image_size"]),
+            patch_size=shape["patch_size"], width=shape["width"],
+            layers=shape["layers"], heads=shape["heads"],
+            intermediate_size=shape["intermediate_size"],
+        )
+        vision = VisionConfig()  # unused placeholder
+    else:
+        vision = VisionConfig(
+            image_size=v.get("image_size", 224),
+            patch_size=v.get("patch_size", 16),
+            width=v.get("width", 768),
+            layers=v.get("layers", 12),
+            head_width=v.get("head_width", 64),
+        )
     pooler = {
         "mean_pooler": "mean", "cls_pooler": "first",
     }.get(raw["text_cfg"].get("hf_pooler_type", "mean_pooler"), "mean")
@@ -164,5 +201,7 @@ def build_custom_text_clip(
         hf_model_name=raw["text_cfg"]["hf_model_name"],
         pooler=pooler,
         quick_gelu=raw.get("quick_gelu", False),
+        init_logit_bias=raw.get("init_logit_bias"),
+        siglip_vision=siglip_vision,
     )
     return CustomTextCLIP(cfg, dtype=dtype, **kw)

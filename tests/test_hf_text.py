@@ -152,3 +152,58 @@ def test_m2m100_nllb_encoder_parity():
     want_pooled = want[:, 0] @ np.asarray(full["proj"]["kernel"])
     np.testing.assert_allclose(np.asarray(got), want_pooled,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_nllb_siglip_hybrid_assembly():
+    """nllb-clip-*-siglip: SigLIP MAP-pooled vision + NLLB text encoder
+    through CustomTextCLIP (registry hybrid routing + tiny e2e forward)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_embeds_tpu.core.openclip_registry import classify_model
+    from clip_embeds_tpu.models.custom_text_clip import (
+        CustomTextCLIP,
+        CustomTextCLIPConfig,
+    )
+    from clip_embeds_tpu.core.config import VisionConfig
+    from clip_embeds_tpu.models.siglip import SiglipVisionConfig
+
+    backend, detail = classify_model("nllb-clip-base-siglip")
+    assert backend == "hf-text" and "siglip" in detail
+    backend, _ = classify_model("nllb-clip-large-siglip")
+    assert backend == "hf-text"
+
+    # tiny hybrid: same wiring, scaled-down shapes
+    from clip_embeds_tpu.models.custom_text_clip import HF_TEXT_SHAPES
+
+    HF_TEXT_SHAPES["tiny/nllb"] = dict(
+        kind="m2m100", vocab_size=128, d_model=32, num_layers=2,
+        num_heads=2, ffn_dim=64,
+    )
+    try:
+        cfg = CustomTextCLIPConfig(
+            embed_dim=48, vision=VisionConfig(),
+            hf_model_name="tiny/nllb", pooler="first",
+            init_logit_bias=-10.0,
+            siglip_vision=SiglipVisionConfig(
+                image_size=32, patch_size=16, width=48, layers=2, heads=2,
+                intermediate_size=96,
+            ),
+        )
+        model = CustomTextCLIP(cfg, attn_impl="reference")
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+            jnp.zeros((1, 8), jnp.int32),
+        )["params"]
+        out = model.apply(
+            {"params": params}, jnp.zeros((1, 32, 32, 3)),
+            jnp.asarray([[3, 5, 7, 2, 0, 0, 0, 0]], jnp.int32),
+            jnp.asarray([[1, 1, 1, 1, 0, 0, 0, 0]], bool),
+        )
+        assert out["image_features"].shape == (1, 48)
+        assert out["text_features"].shape == (1, 48)
+        assert float(out["logit_bias"]) == -10.0
+        assert np.isfinite(np.asarray(out["image_features"])).all()
+    finally:
+        HF_TEXT_SHAPES.pop("tiny/nllb")

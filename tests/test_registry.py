@@ -35,8 +35,10 @@ def test_every_model_classifies():
     for name in backends["clip"]:
         cfg = resolve_clip_config(name)
         assert cfg.embed_dim > 0 and cfg.vision.width > 0
-    assert len(backends["clip"]) >= 50
-    assert len(backends["siglip"]) >= 28
+    assert len(backends["clip"]) >= 80
+    assert len(backends["siglip"]) >= 26  # nllb hybrids route to hf-text now
+    assert len(backends["hf-text"]) >= 9
+    assert len(backends.get("unsupported", [])) <= 4
     assert "coca_ViT-B-32" in backends["coca"]
 
 
