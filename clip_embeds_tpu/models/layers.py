@@ -143,8 +143,16 @@ class Transformer(nn.Module):
         block_cls = ResidualAttentionBlock
         if self.remat:
             # static_argnums counts the bound module as index 0: (self, x,
-            # causal, mask) -> causal is index 2
-            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(2,))
+            # causal, mask) -> causal is index 2. remat='dots' keeps matmul
+            # outputs resident and recomputes only elementwise work — most of
+            # the no-remat speed at a fraction of the activation memory.
+            policy = None
+            if self.remat == "dots":
+                import jax as _jax
+
+                policy = _jax.checkpoint_policies.                    dots_with_no_batch_dims_saveable
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(2,),
+                                 policy=policy)
         n = self.layers if num_blocks is None else num_blocks
         for i in range(n):
             block = block_cls(

@@ -15,35 +15,48 @@ and at >1 s/step compute it is noise.
 
 Run: python perf/experiments/exp_trainstep.py [fp32mu bf16mu]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 BATCH = 64
+BATCH_SMALL = 32
 
 
 def bench_variant(name: str):
+    import optax
+
     from clip_embeds_tpu.core.factory import create_model
     from clip_embeds_tpu.models.clip import CLIP
     from clip_embeds_tpu.train.optim import adamw
     from clip_embeds_tpu.train.steps import TrainState, make_clip_train_step
 
     base, params = create_model("ViT-L-14-336", pretrained="openai")
-    model = CLIP(base.cfg, dtype=jnp.bfloat16, remat=True)
-    mu_dtype = jnp.bfloat16 if name == "bf16mu" else None
-    tx = adamw(1e-4, mu_dtype=mu_dtype)
+    remat = not name.startswith("noremat")
+    batch_size = BATCH_SMALL if "32" in name else BATCH
+    model = CLIP(base.cfg, dtype=jnp.bfloat16, remat=remat)
+    if name == "sgd":
+        tx = optax.sgd(1e-4)
+    elif name == "fwdbwd":
+        tx = optax.set_to_zero()  # isolates forward+backward+grad cost
+    else:
+        mu_dtype = jnp.bfloat16 if name == "bf16mu" else None
+        tx = adamw(1e-4, mu_dtype=mu_dtype)
     state = TrainState.create(jax.device_put(params), tx)
     step = jax.jit(make_clip_train_step(model), donate_argnums=0)
 
     rng = np.random.default_rng(0)
     batch = {
         "images": jnp.asarray(
-            rng.standard_normal((BATCH, 336, 336, 3)), jnp.bfloat16),
+            rng.standard_normal((batch_size, 336, 336, 3)), jnp.bfloat16),
         "texts": jnp.asarray(
-            rng.integers(1, 49000, (BATCH, 77)), jnp.int32),
+            rng.integers(1, 49000, (batch_size, 77)), jnp.int32),
     }
     batch = jax.device_put(batch)
 
@@ -63,8 +76,8 @@ def bench_variant(name: str):
     t_short = run(3)
     t_long = run(15)
     per = (t_long - t_short) / 12
-    print(f"{name:7s}: {per * 1000:7.1f} ms/step -> "
-          f"{BATCH / per:6.1f} samples/s/chip", flush=True)
+    print(f"{name:12s}: {per * 1000:7.1f} ms/step (bs {batch_size}) -> "
+          f"{batch_size / per:6.1f} samples/s/chip", flush=True)
 
 
 if __name__ == "__main__":
