@@ -262,15 +262,40 @@ def _flash_attention_bwd_impl(q, k, v, o, g, causal: bool, block_q: int):
     return unpad(dq, q.dtype), unpad(dk, k.dtype), unpad(dv, v.dtype)
 
 
+def _pack_residual(t: jax.Array):
+    """[B,H,N,64] -> [B,H,ceil(N/2),128]: pair rows into full 128-lane tiles.
+
+    With head_dim 64 the natural layout wastes half of every (8,128) HBM
+    tile; the saved residuals are long-lived (until the backward pass), so
+    packing halves residual memory — this is what makes no-remat ViT-L
+    training fit (PERF.md round-2 training notes). The relayout copy is
+    ~1 ms/layer of bandwidth, recovered many times over.
+    """
+    b, h, n, d = t.shape
+    if d != 64:
+        return t, n
+    if n % 2 != 0:
+        t = jnp.pad(t, [(0, 0), (0, 0), (0, 1), (0, 0)])
+    return t.reshape(b, h, -1, 128), n
+
+
+def _unpack_residual(t: jax.Array, n: int) -> jax.Array:
+    b, h, half, d = t.shape
+    if d != 128:
+        return t
+    return t.reshape(b, h, 2 * half, 64)[:, :, :n]
+
+
 def _fwd(q, k, v, causal, block_q):
     if block_q == 0:
         block_q = _pick_block_q(q.shape[-2])
     out = _flash_attention_fwd_impl(q, k, v, causal, block_q)
-    return out, (q, k, v, out)
+    packed = tuple(_pack_residual(t) for t in (q, k, v, out))
+    return out, packed
 
 
 def _bwd(causal, block_q, residuals, g):
-    q, k, v, o = residuals
+    q, k, v, o = (_unpack_residual(t, n) for t, n in residuals)
     if block_q == 0:
         block_q = _pick_block_q(q.shape[-2])
     return _flash_attention_bwd_impl(q, k, v, o, g, causal, block_q)
