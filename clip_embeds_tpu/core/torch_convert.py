@@ -707,6 +707,35 @@ def convert_instructblip_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     }
 
 
+def convert_clip_t5_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """CLIPT5ForConditionalGeneration (clip-flant5-* checkpoints) ->
+    params for models.clip_t5.CLIPT5.
+
+    Reference layout (t2v clip_t5/model/language_model/clip_t5.py:44-54):
+    plain T5 keys at top level plus ``vision_tower.vision_tower.*`` (an HF
+    CLIPVisionModel) and ``mm_projector.{0,2}`` (the mlp2x_gelu Sequential,
+    builder.py:32-44).
+    """
+    sd = dict(sd)
+    vision = convert_hf_clip_vision_state_dict(
+        sd, prefix="vision_tower.vision_tower.vision_model."
+    )
+    projector = {
+        "linear_1": _linear(sd, "mm_projector.0"),
+        "linear_2": _linear(sd, "mm_projector.2"),
+    }
+    t5_sd = {
+        k: v for k, v in sd.items()
+        if not k.startswith(("vision_tower.", "mm_projector.",
+                             "embed_tokens."))
+    }
+    return {
+        "vision_tower": vision,
+        "multi_modal_projector": projector,
+        "t5": convert_t5_state_dict(t5_sd),
+    }
+
+
 def convert_qwen2_5_vl_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     """HF Qwen2_5_VLForConditionalGeneration -> models.qwen2_vl.Qwen25VL.
 
