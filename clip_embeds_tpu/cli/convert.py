@@ -78,6 +78,7 @@ def convert_for_name(name: str, sd: Dict[str, Any], cfg) -> Dict[str, Any]:
         return tc.convert_llava_state_dict(sd)
     if name in LLAVA_LLAMA_MODELS:
         # compose: vision + projector from the llava layout, LM per backbone
+        sd = tc.normalize_llava_state_dict(sd)
         params = {
             "vision_tower": tc.convert_hf_clip_vision_state_dict(
                 sd, prefix="vision_tower.vision_model."),

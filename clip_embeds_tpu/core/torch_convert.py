@@ -278,6 +278,32 @@ def convert_hf_clip_vision_state_dict(
     }
 
 
+def normalize_llava_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Normalize the newer transformers LLaVA layout (model.* wrapper) to the
+    classic vision_tower./multi_modal_projector./language_model.model. keys."""
+    sd = dict(sd)
+    if not any(k.startswith("model.vision_tower.") for k in sd):
+        return sd
+    renamed = {}
+    for k, v in sd.items():
+        if k.startswith("model."):
+            renamed[k[len("model."):]] = v
+        else:
+            renamed[k] = v
+    if "lm_head.weight" in renamed:
+        renamed["language_model.lm_head.weight"] = renamed.pop("lm_head.weight")
+    # language_model.* here is the bare LM -> re-prefix with .model
+    out: Dict[str, Any] = {}
+    for k, v in renamed.items():
+        if k.startswith("language_model.") and not k.startswith(
+            ("language_model.model.", "language_model.lm_head")
+        ):
+            out["language_model.model." + k[len("language_model."):]] = v
+        else:
+            out[k] = v
+    return out
+
+
 def convert_llava_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     """HF LlavaForConditionalGeneration state_dict -> models.llava.Llava params.
 
@@ -286,26 +312,7 @@ def convert_llava_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     language_model.lm_head (newer transformers move lm_head under
     model.language_model; both spellings handled).
     """
-    sd = dict(sd)
-    # normalize newer transformers layout (model.* wrapper)
-    if any(k.startswith("model.vision_tower.") for k in sd):
-        renamed = {}
-        for k, v in sd.items():
-            if k.startswith("model."):
-                renamed[k[len("model."):]] = v
-            else:
-                renamed[k] = v
-        if "lm_head.weight" in renamed:
-            renamed["language_model.lm_head.weight"] = renamed.pop("lm_head.weight")
-        # language_model.* here is the bare LlamaModel -> re-prefix with .model
-        sd = {}
-        for k, v in renamed.items():
-            if k.startswith("language_model.") and not k.startswith(
-                ("language_model.model.", "language_model.lm_head")
-            ):
-                sd["language_model.model." + k[len("language_model."):]] = v
-            else:
-                sd[k] = v
+    sd = normalize_llava_state_dict(sd)
 
     vision = convert_hf_clip_vision_state_dict(
         sd, prefix="vision_tower.vision_model."

@@ -381,3 +381,64 @@ def test_convert_cli_llava_end_to_end(tmp_path):
     result = score([_img()], ["a cat", "a dog"])
     assert result.shape == (1, 2)
     assert np.isfinite(result).all() and (result > 0).all()
+
+
+@pytest.mark.slow
+def test_convert_cli_llava_phi3_route(tmp_path):
+    """cli/convert llava-phi-3: HF LLaVA layout with a Phi-3 LM
+    (packed qkv_proj/gate_up_proj split by convert_phi3_state_dict)."""
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPVisionConfig, LlavaConfig as HFLlavaConfig
+    from transformers import LlavaForConditionalGeneration, Phi3Config
+
+    vision_cfg = CLIPVisionConfig(
+        hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=16,
+        hidden_act="quick_gelu",
+    )
+    phi_cfg = Phi3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, attn_implementation="eager",
+        pad_token_id=0,  # Phi-3 default 32000 exceeds the tiny vocab
+    )
+    hf_cfg = HFLlavaConfig(
+        vision_config=vision_cfg, text_config=phi_cfg,
+        image_token_index=99, vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+        projector_hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    hf = LlavaForConditionalGeneration(hf_cfg).eval()
+    ckpt = tmp_path / "hf_phi3.pt"
+    torch.save(hf.state_dict(), str(ckpt))
+
+    from clip_embeds_tpu.models.llama import LlamaConfig
+    from clip_embeds_tpu.models.llava import LlavaConfig
+    from clip_embeds_tpu.scores.build import config_to_dict
+
+    tiny = LlavaConfig(
+        llama=LlamaConfig(vocab_size=256, hidden_size=64,
+                          intermediate_size=128, num_layers=2, num_heads=4,
+                          num_kv_heads=4, max_position_embeddings=128),
+        vision=VisionConfig(image_size=32, patch_size=16, width=64, layers=2,
+                            head_width=32),
+    )
+    import json
+
+    cfg_json = tmp_path / "tiny.json"
+    cfg_json.write_text(json.dumps(config_to_dict(tiny)))
+
+    from clip_embeds_tpu.cli.convert import main as convert_main
+
+    out = tmp_path / "bundle"
+    rc = convert_main([
+        "--name", "llava-phi-3", "--checkpoint", str(ckpt),
+        "--out", str(out), "--config", str(cfg_json),
+    ])
+    assert rc == 0
+
+    score = get_score_model("llava-phi-3", checkpoint=str(out),
+                            tokenize=_toy_tokenize, batch_size=2)
+    result = score([_img()], ["a cat"])
+    assert result.shape == (1, 1) and np.isfinite(result).all()
