@@ -23,9 +23,10 @@ exp_fastattn*.py decomposition — softmax VPU passes were the gap):
   over n^2 per head. Key-padding mask rides a precomputed fp32 bias row.
 * 16-aligned query rows (n_q) with in-kernel zero-padding of k/v to the
   128-aligned n_kv: projections/MLP skip the 577->640 lane padding (-7.5%).
-* 2 sequences per program: more MXU/VPU overlap for Mosaic's scheduler.
+* multiple sequences per program for MXU/VPU overlap: 2 for bf16, 4 for
+  int8 (whose weight set is half the size; 16.8 vs 17.3 ms/layer measured).
 
-int8 block: 21.2 -> 17.5 ms/layer (the int8 matmul floor is ~13);
+int8 block: 21.2 -> 16.8 ms/layer (the int8 matmul floor is ~13);
 bf16 block: 30.6 -> ~26. The causal (text-tower) path keeps the classic
 masked max-softmax — a causal bias is 2D and the 77-token tower is cheap.
 
@@ -152,6 +153,15 @@ def _key_bias_row(n_kv: int, kv_valid: int):
 
 def _pick_rows(b: int) -> int:
     return 2 if b % 2 == 0 else 1
+
+
+def _pick_rows_int8(b: int) -> int:
+    """int8 weights leave VMEM headroom for 4 sequences per program
+    (16.76 vs 17.27 ms/layer measured at rows=2, exp_fastattn2 combo4);
+    the bf16 kernel stays at 2 — its weight set alone is ~25 MB."""
+    if b % 4 == 0:
+        return 4
+    return _pick_rows(b)
 
 
 def fused_block(
@@ -313,7 +323,7 @@ def fused_block_int8(
     mlp = w1_q.shape[1]
     dt = x.dtype
     n_kv = n_kv or (_round_up(n, 8) if interpret else _round_up(n, 128))
-    rows = 1 if interpret else _pick_rows(b)
+    rows = 1 if interpret else _pick_rows_int8(b)
 
     def const(shape):
         nd = len(shape)

@@ -254,12 +254,15 @@ def bench_prelude():
 
 if __name__ == "__main__":
     variants = sys.argv[1:] or ["nomax", "combo", "combo_bf16e", "prelude"]
+    # extra probes: combo4 = 4 sequences per program
     for v in variants:
         try:
             if v == "nomax":
                 bench_blocks(v, rows=1, n_q=640, n_kv=640, bf16_exp=False)
             elif v == "combo":
                 bench_blocks(v, rows=2, n_q=592, n_kv=640, bf16_exp=False)
+            elif v == "combo4":
+                bench_blocks(v, rows=4, n_q=592, n_kv=640, bf16_exp=False)
             elif v == "combo_bf16e":
                 bench_blocks(v, rows=2, n_q=592, n_kv=640, bf16_exp=True)
             elif v == "prelude":

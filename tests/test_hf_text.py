@@ -68,7 +68,8 @@ def test_build_custom_text_clip_registry_archs():
     # every hf-text arch in the registry must resolve to a buildable module
     archs = [n for n in list_openclip_models()
              if classify_model(n)[0] == "hf-text"]
-    assert len(archs) == 7  # roberta x3, mt5 x2, nllb x2 (plain-ViT vision)
+    # roberta x3, mt5 x2, nllb x2 plain-ViT + nllb-siglip hybrids x2
+    assert len(archs) == 9
     for n in archs:
         m = build_custom_text_clip(n)
         assert m.cfg.hf_model_name in HF_TEXT_SHAPES
