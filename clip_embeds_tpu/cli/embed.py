@@ -145,20 +145,26 @@ def main(argv: Optional[List[str]] = None) -> int:
     def maybe_calibrate_int8(first_batch: np.ndarray):
         """Swap in the W8A8 serving model, calibrated on the first real
         batch. On TPU with ViT-L-class shapes this is the fused-block int8
-        kernel (424 img/s/chip vs 342 bf16 fused on v5e); elsewhere the
+        kernel (600 img/s/chip vs 414 bf16 fused on v5e); elsewhere the
         composable QuantDense-static path."""
         nonlocal model, params, embed
         from ..models.serving import fused_path_available
 
+        # abs-max calibration needs only a handful of images, and the
+        # observation model must run on host CPU (compiling the dynamic-quant
+        # ViT-L over a remote-TPU tunnel is pathologically slow)
+        calib = jnp.asarray(first_batch[:16])
         if jax.default_backend() == "tpu" and fused_path_available(model):
             from ..models.serving import (
                 fused_encode_image_int8,
                 prepare_int8_tower,
             )
 
-            qtower = jax.device_put(prepare_int8_tower(
-                model, jax.device_get(params), jnp.asarray(first_batch)
-            ))
+            with jax.default_device(jax.devices("cpu")[0]):
+                qtower = prepare_int8_tower(
+                    model, jax.device_get(params), calib
+                )
+            qtower = jax.device_put(qtower)
             m = model
             # ship the fp tree + quantized tower as ONE params argument —
             # closing over qtower would inline it as HLO constants
@@ -179,7 +185,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             dyn = CLIP(model.cfg, dtype=dtype, quant=True,
                        attn_impl="reference")
             sparams = calibrate_act_scales(
-                dyn, qparams, [(jnp.asarray(first_batch),)],
+                dyn, qparams, [(calib,)],
                 apply_kwargs={"method": "encode_image"},
             )
             model = CLIP(model.cfg, dtype=dtype, quant="static")
