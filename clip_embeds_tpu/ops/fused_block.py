@@ -23,8 +23,9 @@ exp_fastattn*.py decomposition — softmax VPU passes were the gap):
   over n^2 per head. Key-padding mask rides a precomputed fp32 bias row.
 * 16-aligned query rows (n_q) with in-kernel zero-padding of k/v to the
   128-aligned n_kv: projections/MLP skip the 577->640 lane padding (-7.5%).
-* multiple sequences per program for MXU/VPU overlap: 2 for bf16, 4 for
-  int8 (whose weight set is half the size; 16.8 vs 17.3 ms/layer measured).
+* multiple sequences per program for MXU/VPU overlap: 4 where the VMEM
+  estimate allows (measured at ViT-L: int8 17.3 -> 16.8 ms/layer,
+  bf16 25.4 -> 24.9), else 2.
 
 int8 block: 21.2 -> 16.8 ms/layer (the int8 matmul floor is ~13);
 bf16 block: 30.6 -> ~26. The causal (text-tower) path keeps the classic
@@ -151,17 +152,15 @@ def _key_bias_row(n_kv: int, kv_valid: int):
     ).reshape(1, 1, n_kv)
 
 
-def _pick_rows(b: int) -> int:
+def _pick_rows(b: int, weight_bytes: int, per_row_act_bytes: int) -> int:
+    """Sequences per program: 4 where the VMEM estimate allows (measured
+    -3% int8 / -2% bf16 ms/layer at ViT-L shapes vs rows=2), else 2/1."""
+    budget = 105 * 1024 * 1024
+    for rows in (4, 2):
+        if b % rows == 0 and \
+                weight_bytes + rows * per_row_act_bytes < budget:
+            return rows
     return 2 if b % 2 == 0 else 1
-
-
-def _pick_rows_int8(b: int) -> int:
-    """int8 weights leave VMEM headroom for 4 sequences per program
-    (16.76 vs 17.27 ms/layer measured at rows=2, exp_fastattn2 combo4);
-    the bf16 kernel stays at 2 — its weight set alone is ~25 MB."""
-    if b % 4 == 0:
-        return 4
-    return _pick_rows(b)
 
 
 def fused_block(
@@ -189,7 +188,9 @@ def fused_block(
     mlp = w1.shape[1]
     dt = x.dtype
     n_kv = n_kv or (_round_up(n, 8) if interpret else _round_up(n, 128))
-    rows = 1 if interpret else _pick_rows(b)
+    per_row = n * 3 * d * 2 + n * n_kv * 4 + n * mlp * 4 + 4 * n * d * 2
+    weight_bytes = (4 * d * d + 2 * d * mlp) * 2
+    rows = 1 if interpret else _pick_rows(b, weight_bytes, per_row)
 
     def const(shape):
         nd = len(shape)
@@ -215,9 +216,7 @@ def fused_block(
     # VMEM budget: weights + x tile + qkv + fp32 logits + mlp hidden
     vmem = min(
         110 * 1024 * 1024,
-        int(1.8 * (sum(w.size * 2 for w in weights)
-                   + rows * (n * 3 * d * 2 + n * n_kv * 4 + n * mlp * 4
-                             + 4 * n * d * 2))),
+        int(1.8 * (sum(w.size * 2 for w in weights) + rows * per_row)),
     )
     return pl.pallas_call(
         functools.partial(
@@ -323,7 +322,9 @@ def fused_block_int8(
     mlp = w1_q.shape[1]
     dt = x.dtype
     n_kv = n_kv or (_round_up(n, 8) if interpret else _round_up(n, 128))
-    rows = 1 if interpret else _pick_rows_int8(b)
+    per_row = n * 3 * d * 2 + n * n_kv * 4 + n * mlp * 4 + 4 * n * d * 2
+    weight_bytes = 4 * d * d + 2 * d * mlp  # int8: one byte per weight
+    rows = 1 if interpret else _pick_rows(b, weight_bytes, per_row)
 
     def const(shape):
         nd = len(shape)
