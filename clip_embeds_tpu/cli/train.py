@@ -47,6 +47,10 @@ def parse_args(argv=None):
                    help="teacher weights tag/path (params.py:466-469)")
     p.add_argument("--grad-cache-chunks", type=int, default=0)
     p.add_argument("--grad-checkpointing", action="store_true")
+    p.add_argument("--grad-checkpointing-policy", default="full",
+                   choices=["full", "dots"],
+                   help="'dots' keeps matmul outputs resident "
+                        "(jax dots_with_no_batch_dims_saveable)")
     p.add_argument("--dataset-type", default="synthetic",
                    choices=["synthetic", "datamix"])
     p.add_argument("--train-data", nargs="*", default=None,
@@ -113,9 +117,12 @@ def main(argv=None):
     from ..train.steps import TrainState, make_clip_train_step
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    remat = args.grad_checkpointing and (
+        "dots" if args.grad_checkpointing_policy == "dots" else True
+    )
     model, params = create_model(
         args.model, args.pretrained, dtype=dtype,
-        remat=args.grad_checkpointing, seed=args.seed,
+        remat=remat, seed=args.seed,
     )
     data_iter, steps_per_epoch = build_data(args, model.cfg)
     total_steps = steps_per_epoch * args.epochs
