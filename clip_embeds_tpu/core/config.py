@@ -18,7 +18,7 @@ class VisionConfig:
     patch_size: int = 16
     width: int = 768
     layers: int = 12
-    tower: str = "vit"  # 'vit'|'resnet'|'eva'|'eva02'|'convnext'|'vitamin'|'timm-vit'|'swin'
+    tower: str = "vit"  # 'vit'|'resnet'|'eva'|'eva02'|'convnext'|'vitamin'|'timm-vit'|'relpos-vit'|'swin'|'mci-vit'|'fastvit'
     resnet_layers: Tuple[int, ...] = ()  # ModifiedResNet stage depths
     convnext_depths: Tuple[int, ...] = ()  # ConvNeXt stage depths
     convnext_dims: Tuple[int, ...] = ()    # ConvNeXt stage widths

@@ -87,8 +87,20 @@ def convert_clip_state_dict(
     is_timm_trunk = ("visual.trunk.patch_embed.proj.weight" in sd
                      or "visual.trunk.patch_embed.backbone.stem.conv1.weight"
                      in sd)
-    if is_timm_trunk:  # CustomTextCLIP + timm trunk
-        if "visual.trunk.patch_embed.backbone.stem.conv1.weight" in sd:
+    if is_timm_trunk:  # timm trunk under visual.trunk.*
+        if vision_tower == "timm-vit":
+            from ..models.timm_vit import convert_timm_vit_state_dict
+
+            visual = convert_timm_vit_state_dict(sd)
+        elif vision_tower == "relpos-vit":
+            from ..models.vit_relpos import convert_relpos_vit_state_dict
+
+            visual = convert_relpos_vit_state_dict(sd)
+        elif vision_tower == "swin":
+            from ..models.swin import convert_swin_trunk_state_dict
+
+            visual = convert_swin_trunk_state_dict(sd)
+        elif "visual.trunk.patch_embed.backbone.stem.conv1.weight" in sd:
             from ..models.vitamin import convert_vitamin_trunk_state_dict
 
             visual = convert_vitamin_trunk_state_dict(sd)
@@ -108,8 +120,14 @@ def convert_clip_state_dict(
                 visual = convert_eva02_trunk_state_dict(sd)
             else:
                 visual = convert_eva_trunk_state_dict(sd)
-        text_sd = {k[len("text."):]: v for k, v in sd.items()
-                   if k.startswith("text.")}
+        # custom_text archs (EVA/ViTamin) carry the text tower under
+        # 'text.'; plain-CLIP archs with a timm trunk (gap-vit / swin /
+        # relpos-vit) keep the standard top-level text keys
+        if "text.token_embedding.weight" in sd:
+            text_sd = {k[len("text."):]: v for k, v in sd.items()
+                       if k.startswith("text.")}
+        else:
+            text_sd = sd
         t_layers = _count_layers(text_sd, "transformer")
         text = {
             "token_embedding": {

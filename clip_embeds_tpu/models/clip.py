@@ -78,6 +78,18 @@ class CLIP(nn.Module):
                 ),
                 dtype=self.dtype, remat=self.remat,
             )
+        elif self.cfg.vision.tower == "relpos-vit":
+            from .vit_relpos import RelPosViTConfig, RelPosViTTower
+
+            v = self.cfg.vision
+            self.visual = RelPosViTTower(
+                RelPosViTConfig(
+                    image_size=v.image_size, patch_size=v.patch_size,
+                    width=v.width, depth=v.layers, heads=v.heads,
+                    mlp_ratio=v.mlp_ratio, embed_dim=self.cfg.embed_dim,
+                ),
+                dtype=self.dtype, remat=self.remat,
+            )
         elif self.cfg.vision.tower == "swin":
             from .swin import SwinConfig, SwinTower
 
