@@ -86,9 +86,16 @@ def convert_clip_state_dict(
 
     is_timm_trunk = ("visual.trunk.patch_embed.proj.weight" in sd
                      or "visual.trunk.patch_embed.backbone.stem.conv1.weight"
+                     in sd
+                     or "visual.trunk.patch_embed.backbone.0.conv.weight"
                      in sd)
     if is_timm_trunk:  # timm trunk under visual.trunk.*
-        if vision_tower == "timm-vit":
+        if (vision_tower == "mci-vit"
+                or "visual.trunk.patch_embed.backbone.0.conv.weight" in sd):
+            from ..models.mci_vit import convert_mci_vit_state_dict
+
+            visual = convert_mci_vit_state_dict(sd)
+        elif vision_tower == "timm-vit":
             from ..models.timm_vit import convert_timm_vit_state_dict
 
             visual = convert_timm_vit_state_dict(sd)

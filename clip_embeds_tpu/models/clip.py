@@ -90,6 +90,18 @@ class CLIP(nn.Module):
                 ),
                 dtype=self.dtype, remat=self.remat,
             )
+        elif self.cfg.vision.tower == "mci-vit":
+            from .mci_vit import MCiViTConfig, MCiViTTower
+
+            v = self.cfg.vision
+            self.visual = MCiViTTower(
+                MCiViTConfig(
+                    image_size=v.image_size, width=v.width, depth=v.layers,
+                    heads=v.width // v.head_width, mlp_ratio=v.mlp_ratio,
+                    embed_dim=self.cfg.embed_dim,
+                ),
+                dtype=self.dtype, remat=self.remat,
+            )
         elif self.cfg.vision.tower == "swin":
             from .swin import SwinConfig, SwinTower
 

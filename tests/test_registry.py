@@ -100,7 +100,7 @@ def test_pretrained_cfg_api():
 
 def test_unsupported_towers_fail_loudly():
     with pytest.raises(NotImplementedError) as ei:
-        get_model_config("MobileCLIP-B")
+        get_model_config("MobileCLIP-S1")
     assert "mci" in str(ei.value).lower() or "fastvit" in str(ei.value).lower() \
         or "timm tower" in str(ei.value)
     with pytest.raises(KeyError):
