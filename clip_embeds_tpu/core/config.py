@@ -42,6 +42,9 @@ class VisionConfig:
     swin_depths: Tuple[int, ...] = ()
     swin_heads: Tuple[int, ...] = ()
     swin_window: int = 7
+    # FastViT-MCI tower (models/fastvit.py): stage depths/dims
+    fastvit_layers: Tuple[int, ...] = ()
+    fastvit_dims: Tuple[int, ...] = ()
 
     @property
     def heads(self) -> int:

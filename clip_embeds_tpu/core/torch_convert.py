@@ -84,11 +84,14 @@ def convert_clip_state_dict(
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
 
+    is_fastvit = ("visual.trunk.stem.0.conv_kxk.0.conv.weight" in sd
+                  or "visual.trunk.stem.0.rbr_conv.0.conv.weight" in sd)
     is_timm_trunk = ("visual.trunk.patch_embed.proj.weight" in sd
                      or "visual.trunk.patch_embed.backbone.stem.conv1.weight"
                      in sd
                      or "visual.trunk.patch_embed.backbone.0.conv.weight"
-                     in sd)
+                     in sd
+                     or is_fastvit)
     if is_timm_trunk:  # timm trunk under visual.trunk.*
         if (vision_tower == "mci-vit"
                 or "visual.trunk.patch_embed.backbone.0.conv.weight" in sd):
@@ -107,6 +110,13 @@ def convert_clip_state_dict(
             from ..models.swin import convert_swin_trunk_state_dict
 
             visual = convert_swin_trunk_state_dict(sd)
+        elif vision_tower == "fastvit" or is_fastvit:
+            from ..models.fastvit import (
+                convert_fastvit_state_dict,
+                infer_fastvit_config,
+            )
+
+            visual = convert_fastvit_state_dict(sd, infer_fastvit_config(sd))
         elif "visual.trunk.patch_embed.backbone.stem.conv1.weight" in sd:
             from ..models.vitamin import convert_vitamin_trunk_state_dict
 

@@ -129,6 +129,20 @@ class CLIP(nn.Module):
                 ),
                 dtype=self.dtype, remat=self.remat,
             )
+        elif self.cfg.vision.tower == "fastvit":
+            from .fastvit import FastViTConfig, FastViTTower
+
+            v = self.cfg.vision
+            self.visual = FastViTTower(
+                FastViTConfig(
+                    image_size=v.image_size,
+                    layers=tuple(v.fastvit_layers),
+                    dims=tuple(v.fastvit_dims),
+                    mlp_ratio=v.mlp_ratio,
+                    embed_dim=self.cfg.embed_dim,
+                ),
+                dtype=self.dtype, remat=self.remat,
+            )
         elif self.cfg.vision.tower == "convnext":
             from .convnext import ConvNeXtConfig, ConvNeXtTower
 

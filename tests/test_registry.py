@@ -98,11 +98,19 @@ def test_pretrained_cfg_api():
     assert is_pretrained_cfg("ViT-B-32-quickgelu", "openai")
 
 
-def test_unsupported_towers_fail_loudly():
-    with pytest.raises(NotImplementedError) as ei:
-        get_model_config("MobileCLIP-S1")
-    assert "mci" in str(ei.value).lower() or "fastvit" in str(ei.value).lower() \
-        or "timm tower" in str(ei.value)
+def test_every_registry_arch_is_native():
+    """Since the fastvit towers landed, all 126 reference model configs
+    classify to a native backend — nothing is 'unsupported' anymore."""
+    from clip_embeds_tpu.core.openclip_registry import (
+        _registry,
+        classify_model,
+    )
+
+    backends = {n: classify_model(n)[0]
+                for n in _registry()["model_configs"]}
+    unsupported = {n: b for n, b in backends.items()
+                   if b in ("unsupported", "unknown")}
+    assert not unsupported, unsupported
     with pytest.raises(KeyError):
         get_model_config("not-a-model")
 
