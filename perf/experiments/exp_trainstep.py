@@ -39,7 +39,12 @@ def bench_variant(name: str):
 
     base, params = create_model("ViT-L-14-336", pretrained="openai")
     remat = not name.startswith("noremat")
-    batch_size = BATCH_SMALL if "32" in name else BATCH
+    if "dots" in name:
+        # dots_with_no_batch_dims_saveable: matmul outputs stay resident,
+        # only elementwise/LN/softmax recompute in the backward pass
+        remat = "dots"
+    # explicit 'bs32' suffix only ('32' alone would match 'fp32mu')
+    batch_size = BATCH_SMALL if name.endswith("bs32") else BATCH
     model = CLIP(base.cfg, dtype=jnp.bfloat16, remat=remat)
     if name == "sgd":
         tx = optax.sgd(1e-4)
