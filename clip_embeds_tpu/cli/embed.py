@@ -4,9 +4,11 @@ The reference's eval loops preprocess one PIL image per model call inside the
 scoring loop (eval_clip.py:50-65) — the host-device ping-pong SURVEY.md §7
 flags as the throughput killer. This driver is the production path instead:
 
-  * a thread pool decodes images ahead of the device (prefetch window)
-  * resize+normalize goes through the native C++ library when available
-    (native/resize.cpp, threaded; PIL fallback)
+  * the C++ pipeline (native/decode.cpp) reads, decodes (JPEG/PNG/WebP),
+    resizes, crops and normalizes whole batches GIL-free ahead of the
+    device, with per-slot PIL fallback for exotic formats
+    (image/loader.py PrefetchLoader; --fast-jpeg enables DCT-domain
+    downscaled decode for another ~1.5x host throughput)
   * batches are dispatched asynchronously — JAX's async dispatch keeps the
     TPU busy on batch i while the host prepares batch i+1 (double buffering)
   * embeddings land in one [N, D] .npy plus a path manifest
@@ -14,13 +16,12 @@ flags as the throughput killer. This driver is the production path instead:
 Usage:
   python -m clip_embeds_tpu.cli.embed --model ViT-L-14-336 \
       --pretrained /ckpt.pt --input /data/images --output emb.npy \
-      [--batch-size 256] [--int8] [--bf16]
+      [--batch-size 256] [--int8] [--bf16] [--fast-jpeg]
 """
 
 from __future__ import annotations
 
 import argparse
-import concurrent.futures as cf
 import json
 import os
 import sys
@@ -28,6 +29,8 @@ import time
 from typing import List, Optional
 
 import numpy as np
+
+from ..image.loader import PrefetchLoader
 
 IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
 
@@ -47,36 +50,6 @@ def list_images(root: str) -> List[str]:
     return out
 
 
-def _load_one(path: str, image_size: int) -> Optional[np.ndarray]:
-    """Decode + shortest-side resize + center crop + normalize -> [S,S,3]."""
-    from PIL import Image
-
-    from ..core.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
-    from ..image.preprocess import (
-        _center_crop,
-        _normalize,
-        _resize_shortest,
-        native_resize_normalize,
-    )
-
-    try:
-        img = Image.open(path).convert("RGB")
-    except Exception as e:  # corrupt file: skip, like wds log_and_continue
-        print(f"skip {path}: {e}", file=sys.stderr)
-        return None
-    # shortest-side resize to S then center crop on the uint8 image, then
-    # the native normalize; falls back to the PIL path
-    short = _resize_shortest(img, image_size)
-    short = _center_crop(short, image_size)
-    arr = np.asarray(short)
-    native = native_resize_normalize(
-        arr, image_size, OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
-    )
-    if native is not None:
-        return native
-    return _normalize(arr, OPENAI_DATASET_MEAN, OPENAI_DATASET_STD)
-
-
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--model", default="ViT-L-14-336")
@@ -90,6 +63,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--int8", action="store_true",
                     help="int8 W8A8 serving path (models/quant.py)")
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 8)
+    ap.add_argument("--fast-jpeg", action="store_true",
+                    help="DCT-domain downscaled JPEG decode (faster host "
+                    "pipeline; pixels deviate slightly from PIL-exact)")
     ap.add_argument("--data-parallel", action="store_true", default=None,
                     help="shard batches over all devices (default: auto "
                     "when more than one device is visible)")
@@ -205,12 +181,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     t0 = time.perf_counter()
     kept_paths: List[str] = []
     outputs = []  # device arrays; fetch lazily (async dispatch pipeline)
-    with cf.ThreadPoolExecutor(args.workers) as pool:
-        futs = [pool.submit(_load_one, p, size) for p in paths]
-        batch: List[np.ndarray] = []
-        for path, fut in zip(paths, futs):
-            arr = fut.result()
-            if arr is None:
+
+    # The C++ loader decodes batch i+1 in a background thread while the
+    # device runs batch i; corrupt files are dropped (wds log_and_continue
+    # semantics), so device batches repack across loader batches.
+    loader = PrefetchLoader(
+        paths, batch_size=bs, image_size=size,
+        fast_jpeg=args.fast_jpeg, num_threads=args.workers,
+    )
+    batch: List[np.ndarray] = []
+    for chunk, arrs, ok in loader:
+        for path, arr, good in zip(chunk, arrs, ok):
+            if not good:
+                print(f"skip {path}: undecodable", file=sys.stderr)
                 continue
             kept_paths.append(path)
             batch.append(arr)
@@ -220,15 +203,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                     maybe_calibrate_int8(stacked)
                 outputs.append(embed(params, jnp.asarray(stacked)))
                 batch = []
-        if batch:
-            if not calibrated["done"]:
-                maybe_calibrate_int8(np.stack(batch))
-            # pad the tail batch to the static shape, slice after
-            tail = len(batch)
-            batch += [batch[-1]] * (bs - tail)
-            outputs.append(
-                embed(params, jnp.asarray(np.stack(batch)))[:tail]
-            )
+    if batch:
+        if not calibrated["done"]:
+            maybe_calibrate_int8(np.stack(batch))
+        # pad the tail batch to the static shape, slice after
+        tail = len(batch)
+        batch += [batch[-1]] * (bs - tail)
+        outputs.append(
+            embed(params, jnp.asarray(np.stack(batch)))[:tail]
+        )
     embs = np.concatenate(
         [np.asarray(o, dtype=np.float32) for o in outputs], axis=0
     )

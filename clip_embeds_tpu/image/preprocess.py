@@ -254,10 +254,12 @@ def native_preprocess_clip(
         return None
     arr = np.asarray(_to_pil(image), np.uint8)
     h, w, _ = arr.shape
+    # torchvision _compute_resized_output_size truncates the long edge
+    # (int(), no round) — keep in lockstep with _resize_shortest
     if h <= w:
-        new_h, new_w = image_size, max(int(round(image_size * w / h)), image_size)
+        new_h, new_w = image_size, max(int(image_size * w / h), image_size)
     else:
-        new_w, new_h = image_size, max(int(round(image_size * h / w)), image_size)
+        new_w, new_h = image_size, max(int(image_size * h / w), image_size)
     out = np.empty((new_h, new_w, 3), np.float32)
     mean_arr = np.asarray(OPENAI_DATASET_MEAN, np.float32)
     std_arr = np.asarray(OPENAI_DATASET_STD, np.float32)

@@ -14,15 +14,16 @@ _LIB: Optional[ctypes.CDLL] = None
 _FAILED = False
 
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["resize.cpp"]
+_SOURCES = ["resize.cpp", "decode.cpp"]
 _LIB_NAME = "libclip_embeds_native.so"
+_LINK_LIBS = ["-ljpeg", "-lpng", "-lwebp"]
 
 
 def _build(lib_path: str) -> None:
     sources = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-pthread", "-o", lib_path, *sources,
+        "-pthread", "-o", lib_path, *sources, *_LINK_LIBS,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -55,6 +56,19 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ]
+            lib.decode_preprocess_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p,
+            ]
+            lib.decode_preprocess_batch.restype = ctypes.c_int
+            lib.probe_image.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.probe_image.restype = ctypes.c_int
             _LIB = lib
         except Exception as exc:  # pragma: no cover
             logging.warning("native library unavailable (%s); using PIL path",

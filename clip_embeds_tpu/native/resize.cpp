@@ -79,63 +79,88 @@ Taps build_taps(int in_size, int out_size, bool bicubic) {
   return taps;
 }
 
+// Pillow's 8bpc fixed-point resampling (Resample.c): coefficients quantized
+// to PRECISION_BITS, int32 accumulation over uint8 pixels, shift+clip back
+// to uint8 after each pass. Reproducing the integer pipeline exactly makes
+// the native path BIT-EXACT with PIL's img.resize on RGB images — and much
+// faster than double-precision accumulation (int32 MACs vectorize).
+constexpr int kPrecisionBits = 32 - 8 - 2;  // 22, as in Pillow's scalar path
+
+inline uint8_t clip8(int v) {
+  if (v >= (255 << kPrecisionBits)) return 255;
+  if (v <= 0) return 0;
+  return static_cast<uint8_t>(v >> kPrecisionBits);
+}
+
+// Quantize double taps to Pillow's int coefficients (round half away from 0).
+std::vector<int32_t> quantize_taps(const Taps& taps, int out_size) {
+  std::vector<int32_t> kk(static_cast<size_t>(out_size) * taps.max_count, 0);
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double* w = &taps.weight[static_cast<size_t>(xx) * taps.max_count];
+    int32_t* k = &kk[static_cast<size_t>(xx) * taps.max_count];
+    for (int i = 0; i < taps.count[xx]; ++i) {
+      const double scaled = w[i] * (1 << kPrecisionBits);
+      k[i] = static_cast<int32_t>(scaled < 0 ? scaled - 0.5 : scaled + 0.5);
+    }
+  }
+  return kk;
+}
+
 // One image: uint8 HWC -> float32 HWC resized + normalized.
 void resize_one(const uint8_t* in, int in_h, int in_w, float* out, int out_h,
                 int out_w, const float* mean, const float* inv_std,
                 bool bicubic) {
   const Taps h_taps = build_taps(in_w, out_w, bicubic);
   const Taps v_taps = build_taps(in_h, out_h, bicubic);
+  const std::vector<int32_t> h_kk = quantize_taps(h_taps, out_w);
+  const std::vector<int32_t> v_kk = quantize_taps(v_taps, out_h);
+  constexpr int kInit = 1 << (kPrecisionBits - 1);
 
-  // Pass 1: horizontal -> [in_h, out_w, 3] float
-  std::vector<float> tmp(static_cast<size_t>(in_h) * out_w * 3);
+  // Pass 1: horizontal -> [in_h, out_w, 3] uint8 (Pillow quantizes the
+  // intermediate to 8 bits between passes; bicubic overshoot clips).
+  std::vector<uint8_t> tmp(static_cast<size_t>(in_h) * out_w * 3);
   for (int y = 0; y < in_h; ++y) {
     const uint8_t* row = in + static_cast<size_t>(y) * in_w * 3;
-    float* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
+    uint8_t* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
     for (int xx = 0; xx < out_w; ++xx) {
-      const double* w = &h_taps.weight[static_cast<size_t>(xx) * h_taps.max_count];
-      const int xmin = h_taps.xmin[xx];
+      const int32_t* k = &h_kk[static_cast<size_t>(xx) * h_taps.max_count];
+      const uint8_t* px = row + static_cast<size_t>(h_taps.xmin[xx]) * 3;
       const int count = h_taps.count[xx];
-      double acc0 = 0.0, acc1 = 0.0, acc2 = 0.0;
-      for (int i = 0; i < count; ++i) {
-        const uint8_t* px = row + static_cast<size_t>(xmin + i) * 3;
-        acc0 += w[i] * px[0];
-        acc1 += w[i] * px[1];
-        acc2 += w[i] * px[2];
+      int acc0 = kInit, acc1 = kInit, acc2 = kInit;
+      for (int i = 0; i < count; ++i, px += 3) {
+        acc0 += k[i] * px[0];
+        acc1 += k[i] * px[1];
+        acc2 += k[i] * px[2];
       }
-      // Pillow's 8bpc pipeline rounds and clamps the horizontal-pass
-      // intermediate to uint8; bicubic overshoot then clips. Reproduce it for
-      // bit-near parity with the torchvision/PIL eval transforms.
-      trow[xx * 3 + 0] = std::nearbyintf(
-          std::min(255.0f, std::max(0.0f, static_cast<float>(acc0))));
-      trow[xx * 3 + 1] = std::nearbyintf(
-          std::min(255.0f, std::max(0.0f, static_cast<float>(acc1))));
-      trow[xx * 3 + 2] = std::nearbyintf(
-          std::min(255.0f, std::max(0.0f, static_cast<float>(acc2))));
+      trow[xx * 3 + 0] = clip8(acc0);
+      trow[xx * 3 + 1] = clip8(acc1);
+      trow[xx * 3 + 2] = clip8(acc2);
     }
   }
 
-  // Pass 2: vertical -> [out_h, out_w, 3], fused normalize.
+  // Pass 2: vertical -> [out_h, out_w, 3], fused normalize. Row-major over
+  // the intermediate (contiguous loads; the tap loop is outermost per pixel
+  // triple so the compiler can vectorize along x).
+  std::vector<int32_t> acc(static_cast<size_t>(out_w) * 3);
   for (int yy = 0; yy < out_h; ++yy) {
-    const double* w = &v_taps.weight[static_cast<size_t>(yy) * v_taps.max_count];
+    const int32_t* k = &v_kk[static_cast<size_t>(yy) * v_taps.max_count];
     const int ymin = v_taps.xmin[yy];
     const int count = v_taps.count[yy];
+    std::fill(acc.begin(), acc.end(), kInit);
+    for (int i = 0; i < count; ++i) {
+      const uint8_t* trow =
+          tmp.data() + static_cast<size_t>(ymin + i) * out_w * 3;
+      const int32_t ki = k[i];
+      for (int x = 0; x < out_w * 3; ++x) acc[x] += ki * trow[x];
+    }
     float* orow = out + static_cast<size_t>(yy) * out_w * 3;
     for (int xx = 0; xx < out_w; ++xx) {
-      double acc0 = 0.0, acc1 = 0.0, acc2 = 0.0;
-      for (int i = 0; i < count; ++i) {
-        const float* px =
-            tmp.data() + (static_cast<size_t>(ymin + i) * out_w + xx) * 3;
-        acc0 += w[i] * px[0];
-        acc1 += w[i] * px[1];
-        acc2 += w[i] * px[2];
-      }
-      // Final uint8 quantization like Pillow, before ToTensor's /255.
-      const double c0 = std::nearbyint(std::min(255.0, std::max(0.0, acc0)));
-      const double c1 = std::nearbyint(std::min(255.0, std::max(0.0, acc1)));
-      const double c2 = std::nearbyint(std::min(255.0, std::max(0.0, acc2)));
-      orow[xx * 3 + 0] = (static_cast<float>(c0) / 255.0f - mean[0]) * inv_std[0];
-      orow[xx * 3 + 1] = (static_cast<float>(c1) / 255.0f - mean[1]) * inv_std[1];
-      orow[xx * 3 + 2] = (static_cast<float>(c2) / 255.0f - mean[2]) * inv_std[2];
+      orow[xx * 3 + 0] =
+          (clip8(acc[xx * 3 + 0]) / 255.0f - mean[0]) * inv_std[0];
+      orow[xx * 3 + 1] =
+          (clip8(acc[xx * 3 + 1]) / 255.0f - mean[1]) * inv_std[1];
+      orow[xx * 3 + 2] =
+          (clip8(acc[xx * 3 + 2]) / 255.0f - mean[2]) * inv_std[2];
     }
   }
 }

@@ -81,3 +81,134 @@ def test_native_preprocess_clip_parity(lib):
         assert a.shape == b.shape == (112, 112, 3)
         # within one uint8 step in normalized units (Pillow fixed-point coeffs)
         assert np.abs(a - b).max() < 1.5 / 255 / 0.2686
+
+
+# ---------------------------------------------------------------------------
+# Native decode pipeline (decode.cpp): bytes -> normalized batch.
+# Reference behavior: PIL decode + torchvision-geometry shortest-edge resize
+# + center crop + normalize (open_clip transform.py image_transform eval
+# path), reproduced bit-exactly by the C++ fast path for JPEG/PNG/WebP.
+# ---------------------------------------------------------------------------
+
+import io
+
+from clip_embeds_tpu.core.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+from clip_embeds_tpu.image.loader import (
+    PrefetchLoader,
+    decode_preprocess_batch,
+    native_decode_preprocess,
+)
+from clip_embeds_tpu.image.preprocess import preprocess_clip
+
+
+def _encode(arr: np.ndarray, fmt: str, **kw) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format=fmt, **kw)
+    return buf.getvalue()
+
+
+def _pil_ref(blob: bytes, size: int = 96) -> np.ndarray:
+    return preprocess_clip(Image.open(io.BytesIO(blob)).convert("RGB"), size)
+
+
+def test_decode_batch_bit_exact_vs_pil(lib):
+    rng = np.random.default_rng(3)
+    shapes_fmts = [
+        ((120, 200), "JPEG"), ((211, 97), "PNG"), ((96, 96), "WEBP"),
+        ((97, 96), "PNG"), ((300, 110), "JPEG"), ((50, 400), "JPEG"),
+    ]
+    blobs = [
+        _encode(rng.integers(0, 256, (*hw, 3), dtype=np.uint8), fmt, quality=90)
+        if fmt != "PNG" else
+        _encode(rng.integers(0, 256, (*hw, 3), dtype=np.uint8), fmt)
+        for hw, fmt in shapes_fmts
+    ]
+    out, ok = decode_preprocess_batch(blobs, 96)
+    assert ok.all()
+    for i, blob in enumerate(blobs):
+        # identical uint8 pixels -> identical float32 after the same normalize
+        np.testing.assert_allclose(out[i], _pil_ref(blob), rtol=0, atol=1e-5)
+
+
+def test_decode_native_claims_only_what_it_handles(lib):
+    rng = np.random.default_rng(4)
+    gray = Image.fromarray(
+        rng.integers(0, 256, (80, 100), dtype=np.uint8), mode="L"
+    )
+    b_gray = io.BytesIO(); gray.save(b_gray, format="JPEG")
+    rgba = Image.fromarray(
+        rng.integers(0, 256, (60, 70, 4), dtype=np.uint8), mode="RGBA"
+    )
+    b_rgba = io.BytesIO(); rgba.save(b_rgba, format="PNG")
+    blobs = [b_gray.getvalue(), b_rgba.getvalue()]
+
+    res = native_decode_preprocess(blobs, 96)
+    assert res is not None
+    _, native_ok = res
+    assert native_ok[0]          # grayscale JPEG: native handles (libjpeg RGB)
+    assert not native_ok[1]      # alpha PNG: defers to PIL's convert("RGB")
+
+    out, ok = decode_preprocess_batch(blobs, 96)  # fallback fills slot 1
+    assert ok.all()
+    for i, blob in enumerate(blobs):
+        np.testing.assert_allclose(out[i], _pil_ref(blob), rtol=0, atol=1e-5)
+
+
+def test_decode_corrupt_slot_is_flagged_and_zeroed(lib):
+    rng = np.random.default_rng(5)
+    good = _encode(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8), "PNG")
+    out, ok = decode_preprocess_batch([b"not an image", good, b""], 96)
+    assert list(ok) == [False, True, False]
+    assert np.all(out[0] == 0.0) and np.all(out[2] == 0.0)
+
+
+def test_decode_fast_jpeg_close_on_natural_images(lib):
+    # DCT-domain downscaled decode deviates from the full decode but must
+    # stay close on low-frequency (natural-image-like) content.
+    rng = np.random.default_rng(6)
+    y, x = np.mgrid[0:700, 0:900].astype(np.float32)
+    img = np.stack(
+        [128 + 80 * np.sin(x * 0.01 * (c + 1)) + 40 * np.cos(y * 0.008 * (c + 1))
+         for c in range(3)], axis=-1)
+    blob = _encode(np.clip(img, 0, 255).astype(np.uint8), "JPEG", quality=92)
+    exact, _ = decode_preprocess_batch([blob], 96)
+    fast, ok = decode_preprocess_batch([blob], 96, fast_jpeg=True)
+    assert ok.all()
+    a, b = exact.ravel(), fast.ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.995
+
+
+def test_prefetch_loader_matches_batch_call(lib, tmp_path):
+    rng = np.random.default_rng(7)
+    paths, blobs = [], []
+    for i in range(5):
+        blob = _encode(
+            rng.integers(0, 256, (100 + 7 * i, 130, 3), dtype=np.uint8),
+            "JPEG", quality=90)
+        p = tmp_path / f"img{i}.jpg"
+        p.write_bytes(blob)
+        paths.append(str(p)); blobs.append(blob)
+    ref, _ = decode_preprocess_batch(blobs, 64)
+
+    got_paths, got = [], []
+    for chunk, batch, ok in PrefetchLoader(paths, batch_size=2, image_size=64):
+        assert ok.all()
+        got_paths.extend(chunk); got.append(batch)
+    assert got_paths == paths
+    np.testing.assert_allclose(np.concatenate(got), ref, rtol=0, atol=0)
+
+
+def test_probe_image_dimensions(lib):
+    import ctypes
+
+    rng = np.random.default_rng(8)
+    for fmt in ("JPEG", "PNG", "WEBP"):
+        blob = _encode(rng.integers(0, 256, (123, 77, 3), dtype=np.uint8), fmt)
+        h = ctypes.c_int(); w = ctypes.c_int()
+        assert lib.probe_image(
+            ctypes.c_char_p(blob), len(blob),
+            ctypes.byref(h), ctypes.byref(w)) == 1
+        assert (h.value, w.value) == (123, 77)
+    assert lib.probe_image(ctypes.c_char_p(b"junk"), 4,
+                           ctypes.byref(h), ctypes.byref(w)) == 0
