@@ -170,6 +170,46 @@ def decode_image_text(raw: Dict[str, bytes]) -> Optional[dict]:
         return None
 
 
+def decode_raw_image_text(raw: Dict[str, bytes]) -> Optional[dict]:
+    """Validate keys but KEEP the encoded image bytes.
+
+    Pairs with wds_batches' native mode: decode is deferred to batch time so
+    the C++ pipeline (native/decode.cpp) can decode+preprocess the whole
+    batch GIL-free instead of one PIL image per sample.
+    """
+    image_key = next(
+        (k for k in ("jpg", "jpeg", "png", "webp") if k in raw), None
+    )
+    if image_key is None or "txt" not in raw:
+        return None
+    try:
+        return {"image_bytes": raw[image_key],
+                "text": raw["txt"].decode("utf-8")}
+    except Exception as exc:
+        logging.warning("dropping undecodable sample: %s", exc)
+        return None
+
+
+# Geometry/stats per preprocess variant for the native batch decoder
+# (must match image/preprocess.py preprocess_{clip,siglip,pacl}).
+def _native_variant_kwargs(variant: str) -> Optional[dict]:
+    from ..core.constants import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        OPENAI_DATASET_MEAN,
+        OPENAI_DATASET_STD,
+    )
+
+    return {
+        "clip": dict(shortest_edge=True, bicubic=True,
+                     mean=OPENAI_DATASET_MEAN, std=OPENAI_DATASET_STD),
+        "siglip": dict(shortest_edge=False, bicubic=True,
+                       mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)),
+        "pacl": dict(shortest_edge=False, bicubic=False,
+                     mean=IMAGENET_MEAN, std=IMAGENET_STD),
+    }.get(variant)
+
+
 def wds_batches(
     dataset: ShardedTarDataset,
     batch_size: int,
@@ -179,27 +219,68 @@ def wds_batches(
     preprocess_variant: str = "clip",
     drop_last: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Decode -> preprocess -> tokenize -> fixed-size numpy batches."""
+    """Decode -> preprocess -> tokenize -> fixed-size numpy batches.
+
+    Samples carrying PIL images (decode_image_text) go through the per-image
+    preprocess path; samples carrying encoded bytes (decode_raw_image_text)
+    are decoded+preprocessed per batch by the native C++ pipeline with
+    per-slot PIL fallback — undecodable samples drop with log_and_continue
+    semantics and the batch refills from later samples.
+    """
     from ..image.preprocess import preprocess_batch
     from ..text.tokenizer import get_tokenizer
 
     tokenizer = tokenizer or get_tokenizer()
-    pending = []
-    for item in dataset(epoch):
-        pending.append(item)
-        if len(pending) == batch_size:
-            yield {
-                "images": preprocess_batch(
-                    [p["image"] for p in pending], image_size,
-                    preprocess_variant,
-                ),
-                "texts": tokenizer([p["text"] for p in pending]),
-            }
-            pending = []
-    if pending and not drop_last:
-        yield {
-            "images": preprocess_batch(
-                [p["image"] for p in pending], image_size, preprocess_variant
-            ),
-            "texts": tokenizer([p["text"] for p in pending]),
+    native_kwargs = _native_variant_kwargs(preprocess_variant)
+
+    pending: List[dict] = []   # raw-bytes samples awaiting batch decode
+    rows: List[np.ndarray] = []
+    texts: List[str] = []
+
+    def decode_pending():
+        from ..image.loader import decode_preprocess_batch
+
+        nonlocal pending
+        batch, ok = decode_preprocess_batch(
+            [p["image_bytes"] for p in pending], image_size, **native_kwargs
+        )
+        for p, arr, good in zip(pending, batch, ok):
+            if not good:
+                logging.warning("dropping undecodable sample (native batch)")
+                continue
+            rows.append(arr)
+            texts.append(p["text"])
+        pending = []
+
+    def emit():
+        out = {
+            "images": np.stack(rows[:batch_size]),
+            "texts": tokenizer(texts[:batch_size]),
         }
+        del rows[:batch_size], texts[:batch_size]
+        return out
+
+    for item in dataset(epoch):
+        if "image_bytes" in item:
+            if native_kwargs is None:
+                raise ValueError(
+                    f"preprocess variant {preprocess_variant!r} has no native "
+                    "batch-decode geometry; use decode_image_text instead"
+                )
+            pending.append(item)
+            if len(pending) == batch_size:
+                decode_pending()
+        else:
+            rows.append(
+                preprocess_batch([item["image"]], image_size,
+                                 preprocess_variant)[0]
+            )
+            texts.append(item["text"])
+        while len(rows) >= batch_size:
+            yield emit()
+    if pending:
+        decode_pending()
+    while len(rows) >= batch_size:
+        yield emit()
+    if rows and not drop_last:
+        yield {"images": np.stack(rows), "texts": tokenizer(texts)}

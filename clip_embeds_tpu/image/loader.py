@@ -86,6 +86,7 @@ def _pil_decode_preprocess(
     mean: Sequence[float],
     std: Sequence[float],
     shortest_edge: bool,
+    bicubic: bool = True,
 ) -> Optional[np.ndarray]:
     """PIL fallback for one sample; None if the bytes don't decode at all."""
     from PIL import Image
@@ -97,7 +98,8 @@ def _pil_decode_preprocess(
         if shortest_edge:
             img = _center_crop(_resize_shortest(img, image_size), image_size)
         else:
-            img = img.resize((image_size, image_size), Image.BICUBIC)
+            resample = Image.BICUBIC if bicubic else Image.BILINEAR
+            img = img.resize((image_size, image_size), resample)
         return _normalize(np.asarray(img), mean, std)
     except Exception:
         return None
@@ -133,7 +135,7 @@ def decode_preprocess_batch(
     if not ok.all():
         for i in np.flatnonzero(~ok):
             arr = _pil_decode_preprocess(
-                blobs[i], image_size, mean, std, shortest_edge
+                blobs[i], image_size, mean, std, shortest_edge, bicubic
             )
             if arr is not None:
                 out[i] = arr

@@ -12,6 +12,7 @@ from PIL import Image
 from clip_embeds_tpu.data.wds import (
     ShardedTarDataset,
     decode_image_text,
+    decode_raw_image_text,
     expand_urls,
     iter_tar_samples,
     wds_batches,
@@ -116,3 +117,59 @@ def test_wds_batches(tmp_path):
     assert len(batches) == 3  # drop_last
     assert batches[0]["images"].shape == (4, 16, 16, 3)
     assert batches[0]["texts"].shape == (4, 77)
+
+
+def test_wds_batches_native_decode_matches_pil(tmp_path):
+    """decode_raw_image_text + native batch decode == decode_image_text path
+    (the C++ resample is bit-exact vs PIL), incl. a corrupt member dropping
+    with refill."""
+    _build_shards(tmp_path, (10,))
+    url = str(tmp_path / "shard-000.tar")
+    ds_pil = ShardedTarDataset(
+        url, decode=decode_image_text, shuffle_shards=False,
+        sample_shuffle_size=0,
+    )
+    ds_raw = ShardedTarDataset(
+        url, decode=decode_raw_image_text, shuffle_shards=False,
+        sample_shuffle_size=0,
+    )
+    ref = list(wds_batches(ds_pil, batch_size=4, image_size=16))
+    got = list(wds_batches(ds_raw, batch_size=4, image_size=16))
+    assert len(ref) == len(got) == 2
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g["images"], r["images"], rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(g["texts"], r["texts"])
+
+
+def test_wds_batches_native_drops_corrupt_and_refills(tmp_path):
+    import io as _io
+    import tarfile
+
+    from PIL import Image as _Image
+
+    tar_path = tmp_path / "mix.tar"
+    rng = np.random.default_rng(0)
+    with tarfile.open(tar_path, "w") as tf:
+        for i in range(9):
+            if i == 2:
+                img_bytes = b"corrupt image bytes"
+            else:
+                buf = _io.BytesIO()
+                _Image.fromarray(
+                    rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+                ).save(buf, format="PNG")
+                img_bytes = buf.getvalue()
+            for ext, data in (("png", img_bytes),
+                              (("txt"), f"caption {i}".encode())):
+                info = tarfile.TarInfo(f"{i:04d}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, _io.BytesIO(data))
+
+    ds = ShardedTarDataset(
+        str(tar_path), decode=decode_raw_image_text, shuffle_shards=False,
+        sample_shuffle_size=0,
+    )
+    batches = list(wds_batches(ds, batch_size=4, image_size=16))
+    # 8 valid of 9 -> two full batches, corrupt sample refilled from later
+    assert len(batches) == 2
+    assert batches[0]["images"].shape == (4, 16, 16, 3)
