@@ -34,6 +34,10 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
+
+    from clip_embeds_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import numpy as np
 
     from clip_embeds_tpu.core.factory import create_model

@@ -39,6 +39,13 @@ def create_model(
         unless CLIP_EMBEDS_CKPT_DIR contains '<name>__<tag>.{pt,npz}'
       * a path to a torch checkpoint (.pt/.pth/.bin), .npz, or orbax dir
     """
+    # every entry point funnels through here before its first compile; the
+    # on-disk executable cache makes repeat runs skip the (minutes-slow)
+    # remote-TPU compiles entirely
+    from .compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     cfg = get_model_config(name, pretrained)
     model = CLIP(cfg, dtype=dtype, attn_impl=attn_impl, remat=remat)
 

@@ -190,24 +190,10 @@ def decode_raw_image_text(raw: Dict[str, bytes]) -> Optional[dict]:
         return None
 
 
-# Geometry/stats per preprocess variant for the native batch decoder
-# (must match image/preprocess.py preprocess_{clip,siglip,pacl}).
 def _native_variant_kwargs(variant: str) -> Optional[dict]:
-    from ..core.constants import (
-        IMAGENET_MEAN,
-        IMAGENET_STD,
-        OPENAI_DATASET_MEAN,
-        OPENAI_DATASET_STD,
-    )
+    from ..image.loader import variant_kwargs
 
-    return {
-        "clip": dict(shortest_edge=True, bicubic=True,
-                     mean=OPENAI_DATASET_MEAN, std=OPENAI_DATASET_STD),
-        "siglip": dict(shortest_edge=False, bicubic=True,
-                       mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)),
-        "pacl": dict(shortest_edge=False, bicubic=False,
-                     mean=IMAGENET_MEAN, std=IMAGENET_STD),
-    }.get(variant)
+    return variant_kwargs(variant)
 
 
 def wds_batches(

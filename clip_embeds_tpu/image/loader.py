@@ -26,6 +26,22 @@ import numpy as np
 from ..core.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
 
 
+def variant_kwargs(variant: str) -> Optional[dict]:
+    """Geometry/stats of a preprocess variant for the native batch decoder
+    (must match image/preprocess.py preprocess_{clip,siglip,pacl}); None for
+    variants the C++ geometry doesn't cover (e.g. llava expand2square)."""
+    from ..core.constants import IMAGENET_MEAN, IMAGENET_STD
+
+    return {
+        "clip": dict(shortest_edge=True, bicubic=True,
+                     mean=OPENAI_DATASET_MEAN, std=OPENAI_DATASET_STD),
+        "siglip": dict(shortest_edge=False, bicubic=True,
+                       mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)),
+        "pacl": dict(shortest_edge=False, bicubic=False,
+                     mean=IMAGENET_MEAN, std=IMAGENET_STD),
+    }.get(variant)
+
+
 def native_decode_preprocess(
     blobs: Sequence[bytes],
     image_size: int,

@@ -109,6 +109,27 @@ def preprocess_batch(
         "llava": preprocess_llava,
         "siglip": preprocess_siglip,
     }[variant]
+    # All-path batches go through the C++ pipeline (decode+resize+normalize
+    # threaded, GIL-free, bit-exact vs the PIL path) when the variant's
+    # geometry is covered; any slot it can't decode falls back per-image.
+    if images and all(isinstance(im, str) for im in images):
+        from .loader import decode_preprocess_batch, variant_kwargs
+
+        kwargs = variant_kwargs(variant)
+        if kwargs is not None:
+            blobs = []
+            for path in images:
+                try:
+                    with open(path, "rb") as fh:
+                        blobs.append(fh.read())
+                except OSError:
+                    blobs.append(b"")
+            out, ok = decode_preprocess_batch(blobs, image_size, **kwargs)
+            if ok.all():
+                return out
+            for i in np.flatnonzero(~ok):  # undecodable: PIL error surface
+                out[i] = fn(images[i], image_size)
+            return out
     return np.stack([fn(im, image_size) for im in images])
 
 

@@ -37,6 +37,7 @@ def fused_encode_image(
     normalize: bool = True,
     dtype: Any = jnp.bfloat16,
     interpret: bool = False,
+    cls_fast_last: bool = True,
 ) -> jax.Array:
     """encode_image via fused block kernels; returns [B, embed_dim]."""
     cfg = model.cfg.vision
@@ -66,8 +67,13 @@ def fused_encode_image(
     if n_pad != n_valid:
         x = jnp.pad(x, [(0, 0), (0, n_pad - n_valid), (0, 0)])
 
+    # pool 'tok' reads only the CLS row of the final block output, so the
+    # last block runs in CLS-only form (k/v full, q/out/MLP one row)
+    use_cls_fast = cls_fast_last and cfg.pool_type == "tok"
+    n_fused = cfg.layers - 1 if use_cls_fast else cfg.layers
+
     blocks = p["transformer"]
-    for i in range(cfg.layers):
+    for i in range(n_fused):
         bp = blocks[f"resblocks_{i}"]
         x = fused_block(
             x,
@@ -80,17 +86,79 @@ def fused_encode_image(
             heads=cfg.heads, kv_valid=n_valid, quick_gelu=quick,
             interpret=interpret,
         )
-    x = x[:, :n_valid]
 
     lnp = p["ln_post"]
-    if cfg.final_ln_after_pool:
-        pooled = _pool(x, cfg.pool_type)
+    if use_cls_fast:
+        pooled = _cls_only_last_block(
+            x, blocks[f"resblocks_{cfg.layers - 1}"], cfg.heads, n_valid,
+            quick, dtype,
+        )
+        # for 'tok', ln-then-pool and pool-then-ln agree on the CLS row
         pooled = _ln_affine(pooled, lnp["scale"], lnp["bias"])
     else:
-        x = _ln_affine(x, lnp["scale"], lnp["bias"])
-        pooled = _pool(x, cfg.pool_type)
+        x = x[:, :n_valid]
+        if cfg.final_ln_after_pool:
+            pooled = _pool(x, cfg.pool_type)
+            pooled = _ln_affine(pooled, lnp["scale"], lnp["bias"])
+        else:
+            x = _ln_affine(x, lnp["scale"], lnp["bias"])
+            pooled = _pool(x, cfg.pool_type)
     pooled = pooled @ p["proj"].astype(dtype)
     return l2_normalize(pooled) if normalize else pooled
+
+
+def _cls_only_last_block(
+    x: jax.Array,                  # [B, n_pad, D] input to the final block
+    bp: Dict[str, Any],            # fp params of the final resblock
+    heads: int,
+    n_valid: int,
+    quick_gelu: bool,
+    dtype: Any,
+) -> jax.Array:
+    """Row-0 (CLS) output of the final residual block, as [B, D].
+
+    With pool_type 'tok' nothing downstream reads the other rows, so the
+    final block only needs k/v projections over the full sequence; the
+    query, out-projection and MLP run on one row — ~10/12 of the block's
+    matmul FLOPs disappear. Plain XLA (k/v proj + tiny attention) instead
+    of the fused kernel; numerics match the composable block.
+    """
+    from .layers import get_act
+
+    b, n, d = x.shape
+    hd = d // heads
+    h = _ln_affine(x, bp["ln_1"]["scale"], bp["ln_1"]["bias"])
+    wq, wk, wv = jnp.split(bp["attn"]["in_proj"]["kernel"].astype(dtype), 3,
+                           axis=1)
+    bq, bk, bv = jnp.split(bp["attn"]["in_proj"]["bias"].astype(dtype), 3)
+    q = h[:, :1] @ wq + bq                       # [B, 1, D]
+    k = h @ wk + bk                              # [B, n, D]
+    v = h @ wv + bv
+
+    qh = q.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum(
+        "bhqc,bhkc->bhqk", qh.astype(jnp.float32) * hd ** -0.5,
+        kh.astype(jnp.float32),
+    )
+    # padded rows carry ln-of-zero garbage in k/v; mask them out of softmax
+    key_ok = jnp.arange(n) < n_valid
+    logits = jnp.where(key_ok[None, None, None, :], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhqk,bhkc->bhqc", probs, vh.astype(jnp.float32))
+    o = o.transpose(0, 2, 1, 3).reshape(b, 1, d).astype(dtype)
+
+    attn_out = o @ bp["attn"]["out_proj"]["kernel"].astype(dtype) \
+        + bp["attn"]["out_proj"]["bias"].astype(dtype)
+    r = x[:, :1] + attn_out
+    t = _ln_affine(r, bp["ln_2"]["scale"], bp["ln_2"]["bias"])
+    t = t @ bp["mlp"]["c_fc"]["kernel"].astype(dtype) \
+        + bp["mlp"]["c_fc"]["bias"].astype(dtype)
+    t = get_act(quick_gelu)(t)
+    t = t @ bp["mlp"]["c_proj"]["kernel"].astype(dtype) \
+        + bp["mlp"]["c_proj"]["bias"].astype(dtype)
+    return (r + t)[:, 0]
 
 
 def fused_path_available(model) -> bool:
@@ -184,6 +252,7 @@ def fused_encode_image_int8(
     normalize: bool = True,
     dtype: Any = jnp.bfloat16,
     interpret: bool = False,
+    cls_fast_last: bool = True,
 ) -> jax.Array:
     """encode_image with W8A8 fused block kernels (21.2 ms/layer on v5e vs
     30.6 bf16). Accuracy: validate per checkpoint — calibrated cos > 0.999
@@ -213,7 +282,12 @@ def fused_encode_image_int8(
     if n_pad != n_valid:
         x = jnp.pad(x, [(0, 0), (0, n_pad - n_valid), (0, 0)])
 
-    for bp in qtower["blocks"]:
+    # last block in CLS-only form (bf16, from the fp tree — the fp params are
+    # on hand either way, and one bf16 row is cheaper than a full int8 block)
+    use_cls_fast = cls_fast_last and cfg.pool_type == "tok"
+    q_blocks = qtower["blocks"][:-1] if use_cls_fast else qtower["blocks"]
+
+    for bp in q_blocks:
         x = fused_block_int8(
             x,
             bp["wqkv_q"], bp["sqkv"], bp["bqkv"],
@@ -224,15 +298,22 @@ def fused_encode_image_int8(
             heads=cfg.heads, kv_valid=n_valid,
             quick_gelu=model.cfg.quick_gelu, interpret=interpret,
         )
-    x = x[:, :n_valid]
 
     lnp = p["ln_post"]
-    if cfg.final_ln_after_pool:
-        pooled = _pool(x, cfg.pool_type)
+    if use_cls_fast:
+        pooled = _cls_only_last_block(
+            x, p["transformer"][f"resblocks_{cfg.layers - 1}"], cfg.heads,
+            n_valid, model.cfg.quick_gelu, dtype,
+        )
         pooled = _ln_affine(pooled, lnp["scale"], lnp["bias"])
     else:
-        x = _ln_affine(x, lnp["scale"], lnp["bias"])
-        pooled = _pool(x, cfg.pool_type)
+        x = x[:, :n_valid]
+        if cfg.final_ln_after_pool:
+            pooled = _pool(x, cfg.pool_type)
+            pooled = _ln_affine(pooled, lnp["scale"], lnp["bias"])
+        else:
+            x = _ln_affine(x, lnp["scale"], lnp["bias"])
+            pooled = _pool(x, cfg.pool_type)
     pooled = pooled @ p["proj"].astype(dtype)
     return l2_normalize(pooled) if normalize else pooled
 
@@ -273,6 +354,99 @@ def fused_encode_text(
             heads=cfg.heads, kv_valid=n_valid,
             quick_gelu=model.cfg.quick_gelu, causal=causal,
             interpret=interpret,
+        )
+    x = x[:, :n_valid]
+    x = _ln_affine(x, p["ln_final"]["scale"], p["ln_final"]["bias"])
+
+    from .text_transformer import text_global_pool
+
+    pooled, _ = text_global_pool(x, text_ids, cfg.pool_type)
+    pooled = pooled @ p["text_projection"].astype(dtype)
+    return l2_normalize(pooled) if normalize else pooled
+
+
+def prepare_int8_text_tower(
+    model, params: Dict[str, Any], calib_ids: jax.Array
+) -> Dict[str, Any]:
+    """Quantize the text tower's block projections to int8 with static
+    activation scales calibrated on real token batches (mirrors
+    prepare_int8_tower for the vision side)."""
+    import numpy as np
+
+    from ..models.clip import CLIP
+    from ..models.quant import calibrate_act_scales, quantize_dense_tree
+
+    qtree = quantize_dense_tree(jax.device_get(params))
+    dyn = CLIP(model.cfg, dtype=model.dtype, quant=True,
+               attn_impl="reference")
+    static = calibrate_act_scales(
+        dyn, qtree, [(calib_ids,)],
+        apply_kwargs={"method": "encode_text"},
+    )
+    blocks = static["text"]["transformer"]
+    out = {"blocks": []}
+    for i in range(model.cfg.text.layers):
+        bp = blocks[f"resblocks_{i}"]
+        fp = params["text"]["transformer"][f"resblocks_{i}"]
+        out["blocks"].append({
+            "wqkv_q": jnp.asarray(bp["attn"]["in_proj"]["kernel_q"]),
+            "sqkv": jnp.asarray(bp["attn"]["in_proj"]["scale"]),
+            "bqkv": jnp.asarray(fp["attn"]["in_proj"]["bias"]),
+            "wo_q": jnp.asarray(bp["attn"]["out_proj"]["kernel_q"]),
+            "so": jnp.asarray(bp["attn"]["out_proj"]["scale"]),
+            "bo": jnp.asarray(fp["attn"]["out_proj"]["bias"]),
+            "w1_q": jnp.asarray(bp["mlp"]["c_fc"]["kernel_q"]),
+            "s1": jnp.asarray(bp["mlp"]["c_fc"]["scale"]),
+            "b1": jnp.asarray(fp["mlp"]["c_fc"]["bias"]),
+            "w2_q": jnp.asarray(bp["mlp"]["c_proj"]["kernel_q"]),
+            "s2": jnp.asarray(bp["mlp"]["c_proj"]["scale"]),
+            "b2": jnp.asarray(fp["mlp"]["c_proj"]["bias"]),
+            "ln1": jnp.stack([fp["ln_1"]["scale"], fp["ln_1"]["bias"]]),
+            "ln2": jnp.stack([fp["ln_2"]["scale"], fp["ln_2"]["bias"]]),
+            "act_scales": jnp.asarray(np.stack([
+                bp["attn"]["in_proj"]["act_scale"],
+                bp["attn"]["out_proj"]["act_scale"],
+                bp["mlp"]["c_fc"]["act_scale"],
+                bp["mlp"]["c_proj"]["act_scale"],
+            ]), jnp.float32),
+        })
+    return out
+
+
+def fused_encode_text_int8(
+    model,
+    params: Dict[str, Any],        # full fp tree (embeddings/ln_final/proj)
+    qtower: Dict[str, Any],        # prepare_int8_text_tower output
+    text_ids: jax.Array,
+    normalize: bool = True,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """encode_text with W8A8 fused causal block kernels."""
+    from ..ops.fused_block import fused_block_int8
+
+    cfg = model.cfg.text
+    p = params["text"]
+    x = p["token_embedding"]["embedding"].astype(dtype)[text_ids]
+    n_valid = text_ids.shape[1]
+    x = x + p["positional_embedding"][:n_valid].astype(dtype)
+
+    align = 8 if interpret else 16
+    n_pad = _round_up(n_valid, align)
+    if n_pad != n_valid:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n_valid), (0, 0)])
+
+    causal = not cfg.no_causal_mask
+    for bp in qtower["blocks"]:
+        x = fused_block_int8(
+            x,
+            bp["wqkv_q"], bp["sqkv"], bp["bqkv"],
+            bp["wo_q"], bp["so"], bp["bo"],
+            bp["w1_q"], bp["s1"], bp["b1"],
+            bp["w2_q"], bp["s2"], bp["b2"],
+            bp["ln1"], bp["ln2"], bp["act_scales"],
+            heads=cfg.heads, kv_valid=n_valid, causal=causal,
+            quick_gelu=model.cfg.quick_gelu, interpret=interpret,
         )
     x = x[:, :n_valid]
     x = _ln_affine(x, p["ln_final"]["scale"], p["ln_final"]["bias"])

@@ -279,7 +279,7 @@ def _kernel_int8(
     w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, g1_ref, g2_ref,
     ascale_ref, brow_ref, o_ref, *,
     rows: int, heads: int, scale: float, n_kv: int, kv_valid: int,
-    quick_gelu: bool, ln_eps: float,
+    quick_gelu: bool, ln_eps: float, causal: bool,
 ):
     for r in range(rows):
         x = x_ref[r]
@@ -288,7 +288,7 @@ def _kernel_int8(
         h32 = _ln(x, g1_ref[0, 0], g1_ref[0, 1], ln_eps).astype(jnp.float32)
         qkv = _qdot(h32, a[0], wqkv_ref, sqkv_ref, bqkv_ref).astype(x.dtype)
         att = _attention(qkv, brow_ref[0:1, 0, :], heads, scale, n_kv,
-                         kv_valid, False, x.dtype)
+                         kv_valid, causal, x.dtype)
 
         x = x + _qdot(att.astype(jnp.float32), a[1], wo_ref, so_ref,
                       bo_ref).astype(x.dtype)
@@ -316,6 +316,7 @@ def fused_block_int8(
     quick_gelu: bool = False,
     ln_eps: float = 1e-5,
     n_kv: Optional[int] = None,
+    causal: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     b, n, d = x.shape
@@ -357,7 +358,7 @@ def fused_block_int8(
         functools.partial(
             _kernel_int8, rows=rows, heads=heads, scale=(d // heads) ** -0.5,
             n_kv=n_kv, kv_valid=kv_valid, quick_gelu=quick_gelu,
-            ln_eps=ln_eps,
+            ln_eps=ln_eps, causal=causal,
         ),
         grid=(b // rows,),
         in_specs=[pl.BlockSpec((rows, n, d), lambda bi: (bi, 0, 0),

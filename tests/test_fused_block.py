@@ -102,3 +102,57 @@ def test_fused_encode_text_parity():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+def test_cls_fast_last_block_matches_full(quick=False):
+    """CLS-only final block (pool 'tok' fast path) == running the full final
+    fused block: nothing downstream reads the non-CLS rows."""
+    model, params = create_model("test-tiny", seed=7)
+    assert model.cfg.vision.pool_type == "tok"
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    )
+    full = fused_encode_image(
+        model, params, images, dtype=jnp.float32, interpret=True,
+        cls_fast_last=False,
+    )
+    fast = fused_encode_image(
+        model, params, images, dtype=jnp.float32, interpret=True,
+        cls_fast_last=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(full), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.slow
+def test_fused_text_int8_parity():
+    """int8 causal text blocks stay close to the fp composable encode_text."""
+    from clip_embeds_tpu.models.serving import (
+        fused_encode_text_int8,
+        prepare_int8_text_tower,
+    )
+
+    model, params = create_model("test-tiny", seed=9)
+    rng = np.random.default_rng(4)
+    def make_ids(b):
+        return jnp.asarray(
+            np.concatenate([
+                np.full((b, 1), 300), rng.integers(1, 200, (b, 14)),
+                np.full((b, 1), 400),
+            ], axis=1).astype(np.int32))
+
+    qtower = prepare_int8_text_tower(model, params, make_ids(4))
+    ids = make_ids(3)
+    got = fused_encode_text_int8(
+        model, params, qtower, ids, dtype=jnp.float32, interpret=True
+    )
+    want = model.apply(
+        {"params": params}, ids, normalize=True, method="encode_text"
+    )
+    cos = float((np.asarray(got) * np.asarray(want)).sum(-1).mean())
+    assert cos > 0.99, cos
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(got), axis=-1), 1.0, rtol=1e-5
+    )
