@@ -52,9 +52,14 @@ def parse_args(argv=None):
                    help="'dots' keeps matmul outputs resident "
                         "(jax dots_with_no_batch_dims_saveable)")
     p.add_argument("--dataset-type", default="synthetic",
-                   choices=["synthetic", "datamix"])
+                   choices=["synthetic", "datamix", "csv", "webdataset",
+                            "auto"])
     p.add_argument("--train-data", nargs="*", default=None,
-                   help="datamix annotation json files")
+                   help="datamix annotation jsons / csv-tsv file / wds "
+                        "tar url(s) with {000..127} brace expansion")
+    p.add_argument("--csv-img-key", default="filepath")
+    p.add_argument("--csv-caption-key", default="title")
+    p.add_argument("--csv-separator", default="\t")
     p.add_argument("--lcs-root", default=None)
     p.add_argument("--datamix-root", default=None)
     p.add_argument("--train-num-samples", type=int, default=64)
@@ -66,7 +71,48 @@ def parse_args(argv=None):
 
 
 def build_data(args, model_cfg) -> Iterator[Dict[str, np.ndarray]]:
-    if args.dataset_type == "synthetic":
+    dataset_type = args.dataset_type
+    if dataset_type == "auto":
+        # reference get_dataset_fn auto rule (data.py:675-683)
+        ext = args.train_data[0].split(".")[-1]
+        if ext in ("csv", "tsv"):
+            dataset_type = "csv"
+        elif ext == "tar":
+            dataset_type = "webdataset"
+        else:
+            raise ValueError(
+                f"cannot infer dataset type from extension {ext!r}")
+    if dataset_type == "csv":
+        from ..data.csv_dataset import CsvPairDataset, csv_batches
+        from ..text.tokenizer import get_tokenizer
+
+        ds = CsvPairDataset(
+            args.train_data[0], img_key=args.csv_img_key,
+            caption_key=args.csv_caption_key, sep=args.csv_separator,
+        )
+        steps = len(ds) // args.batch_size
+        return csv_batches(
+            ds, args.batch_size, model_cfg.vision.image_size,
+            get_tokenizer(), seed=args.seed,
+        ), steps
+    if dataset_type == "webdataset":
+        from ..data.wds import (
+            ShardedTarDataset,
+            decode_raw_image_text,
+            wds_batches,
+        )
+
+        ds = ShardedTarDataset(
+            args.train_data if len(args.train_data) > 1
+            else args.train_data[0],
+            decode=decode_raw_image_text, seed=args.seed,
+        )
+        steps = max(args.train_num_samples // args.batch_size, 1)
+        batches = wds_batches(
+            ds, args.batch_size, image_size=model_cfg.vision.image_size,
+        )
+        return batches, steps
+    if dataset_type == "synthetic":
         from ..data.synthetic import synthetic_batches
 
         steps = max(args.train_num_samples // args.batch_size, 1)
