@@ -50,12 +50,89 @@ def list_images(root: str) -> List[str]:
     return out
 
 
+def _embed_texts(args, model, params, dtype) -> int:
+    """Text-tower serving: one caption per line -> [N, D] .npy.
+
+    TPU ViT-class configs route through the fused causal block kernels
+    (models/serving.py; 11.2k texts/s/chip bf16, 13.3k int8 W8A8 on
+    ViT-L/v5e — 2x the composable path, PERF.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..text.tokenizer import get_tokenizer
+
+    with open(args.input_texts) as fh:
+        texts = [ln.rstrip("\n") for ln in fh if ln.strip()]
+    if not texts:
+        print(f"no texts in {args.input_texts}", file=sys.stderr)
+        return 1
+    tokenizer = get_tokenizer(model.cfg.text.context_length)
+
+    from ..models.serving import fused_path_available
+
+    use_fused = (jax.default_backend() == "tpu"
+                 and fused_path_available(model))
+    if use_fused and args.int8:
+        from ..models.serving import (
+            fused_encode_text_int8,
+            prepare_int8_text_tower,
+        )
+
+        calib = jnp.asarray(tokenizer(texts[:64]))
+        with jax.default_device(jax.devices("cpu")[0]):
+            qtower = prepare_int8_text_tower(
+                model, jax.device_get(params), calib
+            )
+        bundle = jax.device_put(
+            {"fp": jax.device_get(params), "q": jax.device_get(qtower)}
+        )
+        encode = jax.jit(lambda p, ids: fused_encode_text_int8(
+            model, p["fp"], p["q"], ids, normalize=True))
+    elif use_fused:
+        from ..models.serving import fused_encode_text
+
+        bundle = jax.device_put(params)
+        encode = jax.jit(lambda p, ids: fused_encode_text(
+            model, p, ids, normalize=True))
+    else:
+        bundle = jax.device_put(params)
+        encode = jax.jit(lambda p, ids: model.apply(
+            {"params": p}, ids, normalize=True, method="encode_text"))
+
+    bs = args.batch_size
+    t0 = time.perf_counter()
+    outputs = []
+    for start in range(0, len(texts), bs):
+        chunk = texts[start : start + bs]
+        tail = len(chunk)
+        if tail < bs:
+            chunk = chunk + [chunk[-1]] * (bs - tail)
+        ids = jnp.asarray(tokenizer(chunk))
+        outputs.append(encode(bundle, ids)[:tail])
+    embs = np.concatenate(
+        [np.asarray(o, dtype=np.float32) for o in outputs], axis=0
+    )
+    elapsed = time.perf_counter() - t0
+    np.save(args.output, embs)
+    print(json.dumps({
+        "texts": len(texts),
+        "dim": int(embs.shape[1]),
+        "seconds": round(elapsed, 3),
+        "texts_per_sec": round(len(texts) / elapsed, 2),
+        "output": args.output,
+    }))
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--model", default="ViT-L-14-336")
     ap.add_argument("--pretrained", default=None)
-    ap.add_argument("--input", required=True,
+    ap.add_argument("--input", default=None,
                     help="image directory, single image, or manifest file")
+    ap.add_argument("--input-texts", default=None,
+                    help="text file (one caption per line) -> text-tower "
+                    "embeddings instead of image embeddings")
     ap.add_argument("--output", required=True, help=".npy output path")
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--bf16", action="store_true", default=True)
@@ -78,10 +155,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from ..core.factory import create_model
 
+    if (args.input is None) == (args.input_texts is None):
+        print("exactly one of --input / --input-texts is required",
+              file=sys.stderr)
+        return 1
+
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model, params = create_model(
         args.model, pretrained=args.pretrained, dtype=dtype,
     )
+    if args.input_texts is not None:
+        return _embed_texts(args, model, params, dtype)
     size = model.cfg.vision.image_size
     calibrated = {"done": not args.int8}
 

@@ -87,3 +87,28 @@ def test_embed_cli_data_parallel_matches_single_device(tmp_path):
     np.testing.assert_allclose(
         np.load(out_dp), np.load(out_sd), rtol=1e-5, atol=1e-6
     )
+
+
+def test_embed_cli_texts(tmp_path):
+    """--input-texts route: captions -> normalized text embeddings."""
+    from clip_embeds_tpu.cli.embed import main
+
+    txt = tmp_path / "caps.txt"
+    txt.write_text("a photo of a cat\na photo of a dog\nan aerial view\n")
+    out = tmp_path / "temb.npy"
+    rc = main([
+        "--model", "test-tiny", "--input-texts", str(txt),
+        "--output", str(out), "--batch-size", "2", "--fp32",
+        "--no-data-parallel",
+    ])
+    assert rc == 0
+    embs = np.load(out)
+    assert embs.shape[0] == 3
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, atol=1e-3)
+
+
+def test_embed_cli_rejects_ambiguous_inputs(tmp_path):
+    from clip_embeds_tpu.cli.embed import main
+
+    assert main(["--model", "test-tiny",
+                 "--output", str(tmp_path / "x.npy")]) == 1
