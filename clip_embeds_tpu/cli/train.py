@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import time
 from typing import Dict, Iterator
 
@@ -60,6 +61,36 @@ def parse_args(argv=None):
     p.add_argument("--csv-img-key", default="filepath")
     p.add_argument("--csv-caption-key", default="title")
     p.add_argument("--csv-separator", default="\t")
+    p.add_argument("--dataset-resampled", action="store_true",
+                   help="wds: sample shards with replacement")
+    p.add_argument("--train-data-upsampling-factors", default=None,
+                   help="wds: '::'-separated per-url weights")
+    p.add_argument("--val-data", default=None,
+                   help="csv/tsv or wds tar of held-out pairs")
+    p.add_argument("--val-frequency", type=int, default=1)
+    p.add_argument("--val-num-samples", type=int, default=512)
+    p.add_argument("--imagenet-val", default=None,
+                   help="ImageFolder-style ImageNet val root for zero-shot")
+    p.add_argument("--zeroshot-frequency", type=int, default=2)
+    p.add_argument("--accum-freq", type=int, default=1,
+                   help="gradient accumulation; maps to the exact-gradient "
+                        "GradCache engine (open_clip train.py:113-162 "
+                        "cached-feature replay)")
+    p.add_argument("--grad-clip-norm", type=float, default=None)
+    p.add_argument("--force-quick-gelu", action="store_true")
+    p.add_argument("--force-patch-dropout", type=float, default=None)
+    p.add_argument("--lock-text", action="store_true")
+    p.add_argument("--lock-text-unlocked-layers", type=int, default=0)
+    p.add_argument("--lock-text-freeze-layer-norm", action="store_true")
+    p.add_argument("--lock-image-unlocked-groups", type=int, default=0)
+    p.add_argument("--save-frequency", type=int, default=1)
+    p.add_argument("--save-most-recent", action="store_true")
+    p.add_argument("--delete-previous-checkpoint", action="store_true")
+    p.add_argument("--report-to", default="",
+                   help="comma list: jsonl,tensorboard,wandb")
+    p.add_argument("--logs", default=None,
+                   help="log root; metrics land in <logs>/<name>/")
+    p.add_argument("--name", default=None)
     p.add_argument("--lcs-root", default=None)
     p.add_argument("--datamix-root", default=None)
     p.add_argument("--train-num-samples", type=int, default=64)
@@ -102,10 +133,15 @@ def build_data(args, model_cfg) -> Iterator[Dict[str, np.ndarray]]:
             wds_batches,
         )
 
+        weights = None
+        if args.train_data_upsampling_factors:
+            weights = [float(w) for w in
+                       args.train_data_upsampling_factors.split("::")]
         ds = ShardedTarDataset(
             args.train_data if len(args.train_data) > 1
             else args.train_data[0],
             decode=decode_raw_image_text, seed=args.seed,
+            resampled=args.dataset_resampled, weights=weights,
         )
         steps = max(args.train_num_samples // args.batch_size, 1)
         batches = wds_batches(
@@ -148,6 +184,40 @@ def build_data(args, model_cfg) -> Iterator[Dict[str, np.ndarray]]:
     ), steps
 
 
+def build_val_batches(args, model_cfg):
+    """Held-out pair batches for the in-training evaluate() loop.
+
+    csv/tsv (deterministic order, no shuffle) or wds tar by extension —
+    the reference's val_data contract (data.py get_data val branch)."""
+    from ..text.tokenizer import get_tokenizer
+
+    ext = args.val_data.split(".")[-1]
+    if ext in ("csv", "tsv"):
+        from ..data.csv_dataset import CsvPairDataset, csv_batches
+
+        ds = CsvPairDataset(
+            args.val_data, img_key=args.csv_img_key,
+            caption_key=args.csv_caption_key, sep=args.csv_separator,
+        )
+        return csv_batches(
+            ds, args.batch_size, model_cfg.vision.image_size,
+            get_tokenizer(), shuffle=False, drop_last=False,
+        )
+    from ..data.wds import (
+        ShardedTarDataset,
+        decode_raw_image_text,
+        wds_batches,
+    )
+
+    ds = ShardedTarDataset(
+        args.val_data, decode=decode_raw_image_text, shuffle_shards=False,
+    )
+    return wds_batches(
+        ds, args.batch_size, image_size=model_cfg.vision.image_size,
+        drop_last=False,
+    )
+
+
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -169,6 +239,8 @@ def main(argv=None):
     model, params = create_model(
         args.model, args.pretrained, dtype=dtype,
         remat=remat, seed=args.seed,
+        force_quick_gelu=args.force_quick_gelu,
+        force_patch_dropout=args.force_patch_dropout,
     )
     data_iter, steps_per_epoch = build_data(args, model.cfg)
     total_steps = steps_per_epoch * args.epochs
@@ -177,19 +249,29 @@ def main(argv=None):
         cosine_lr(args.lr, args.warmup, total_steps)
         if args.lr_scheduler == "cosine" else const_lr(args.lr, args.warmup)
     )
-    tx = adamw(sched, args.beta1, args.beta2, args.eps, args.wd)
-    if args.lock_image:
+    if args.accum_freq > 1 and args.grad_cache_chunks <= 1:
+        # the reference's --accum-freq cached-feature replay
+        # (train.py:113-162) IS the GradCache algorithm; route it there —
+        # gradients are exact for the full accumulated batch
+        args.grad_cache_chunks = args.accum_freq
+
+    tx = adamw(sched, args.beta1, args.beta2, args.eps, args.wd,
+               max_grad_norm=args.grad_clip_norm)
+    if args.lock_image or args.lock_text:
         import optax
 
-        # LiT freeze (reference model.py:261-263): zero updates for the
-        # visual subtree.
+        from ..train.freeze import tower_freeze_labels
+
+        labels = tower_freeze_labels(
+            params, model.cfg,
+            lock_image=args.lock_image,
+            lock_image_unlocked_groups=args.lock_image_unlocked_groups,
+            lock_text=args.lock_text,
+            lock_text_unlocked_layers=args.lock_text_unlocked_layers,
+            lock_text_freeze_layer_norm=args.lock_text_freeze_layer_norm,
+        )
         tx = optax.multi_transform(
-            {"train": tx, "freeze": optax.set_to_zero()},
-            jax.tree_util.tree_map_with_path(
-                lambda path, _: "freeze"
-                if getattr(path[0], "key", "") == "visual" else "train",
-                params,
-            ),
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
         )
     state = TrainState.create(params, tx)
 
@@ -230,6 +312,113 @@ def main(argv=None):
             grad_cache_chunks=args.grad_cache_chunks,
         ), donate_argnums=0)
 
+    # metrics fan-out (reference --report-to; core/logging_utils.py)
+    writer = None
+    if args.report_to or args.logs:
+        from ..core.logging_utils import MetricsLogger
+
+        run_name = args.name or time.strftime("run-%Y%m%d-%H%M%S")
+        log_dir = os.path.join(args.logs, run_name) if args.logs else None
+        writer = MetricsLogger(
+            log_dir=log_dir,
+            report_to=[r for r in args.report_to.split(",") if r],
+            run_name=run_name,
+        )
+
+    eval_apply = jax.jit(lambda p, im, tx: model.apply(
+        {"params": p}, im, tx))
+
+    def run_validation(epoch: int):
+        """Reference evaluate() (train.py:270-377): full-val-set contrastive
+        loss + image<->text retrieval metrics."""
+        from ..evals.metrics import retrieval_metrics
+
+        img_f, txt_f = [], []
+        n = 0
+        for vb in build_val_batches(args, model.cfg):
+            out = eval_apply(state.params, vb["images"], vb["texts"])
+            img_f.append(np.asarray(out["image_features"], np.float32))
+            txt_f.append(np.asarray(out["text_features"], np.float32))
+            n += vb["images"].shape[0]
+            if n >= args.val_num_samples:
+                break
+        if not img_f:
+            return
+        img = np.concatenate(img_f)
+        txt = np.concatenate(txt_f)
+        scale = float(np.exp(jax.device_get(state.params["logit_scale"])))
+        logits = scale * img @ txt.T
+        labels = np.arange(len(img))
+        # symmetric CE over the whole val set (reference val 'clip_val_loss')
+        def ce(lg):
+            lg = lg - lg.max(axis=1, keepdims=True)
+            return float(np.mean(
+                np.log(np.exp(lg).sum(axis=1)) - lg[labels, labels]
+            ))
+        metrics = retrieval_metrics(img, txt, scale)
+        metrics["clip_val_loss"] = (ce(logits) + ce(logits.T)) / 2
+        metrics["num_samples"] = float(len(img))
+        logging.info("val epoch %d: %s", epoch, {
+            k: round(v, 4) for k, v in metrics.items()})
+        if writer:
+            writer.log_eval(metrics, epoch)
+
+    def run_zero_shot(epoch: int):
+        """Mid-training ImageNet zero-shot (reference zero_shot.py via
+        --zeroshot-frequency/--imagenet-val)."""
+        from ..evals.zero_shot import (
+            build_zero_shot_classifier,
+            load_imagenet_metadata,
+            zero_shot_eval,
+        )
+        from ..image.preprocess import preprocess_batch
+        from ..text.tokenizer import get_tokenizer
+
+        meta = load_imagenet_metadata()
+        tok = get_tokenizer(model.cfg.text.context_length)
+
+        def encode_texts(prompts):
+            out = eval_apply(
+                state.params,
+                jnp.zeros((len(prompts),
+                           model.cfg.vision.image_size,
+                           model.cfg.vision.image_size, 3), dtype),
+                jnp.asarray(tok(prompts)),
+            )
+            return np.asarray(out["text_features"], np.float32)
+
+        classifier = build_zero_shot_classifier(
+            encode_texts, meta["classnames"],
+            [t for t in meta["templates"]],
+        )
+        samples, targets = [], []
+        classes = sorted(os.listdir(args.imagenet_val))
+        for ci, cls_dir in enumerate(classes):
+            full = os.path.join(args.imagenet_val, cls_dir)
+            if not os.path.isdir(full):
+                continue
+            for fn in sorted(os.listdir(full)):
+                samples.append(os.path.join(full, fn))
+                targets.append(ci)
+
+        def encode_images(paths):
+            pixels = preprocess_batch(
+                list(paths), model.cfg.vision.image_size, "clip")
+            out = eval_apply(
+                state.params, jnp.asarray(pixels),
+                jnp.zeros((len(paths), model.cfg.text.context_length),
+                          jnp.int32),
+            )
+            return np.asarray(out["image_features"], np.float32)
+
+        acc = zero_shot_eval(encode_images, classifier, samples, targets,
+                             batch_size=args.batch_size)
+        metrics = {f"imagenet-zeroshot-val-{k}": v for k, v in acc.items()}
+        logging.info("zero-shot epoch %d: %s", epoch, metrics)
+        if writer:
+            writer.log_eval(metrics, epoch)
+
+    prev_ckpt_step = None
     logging.info("devices=%d steps/epoch=%d", n_dev, steps_per_epoch)
     with jax.sharding.set_mesh(mesh):
         for epoch in range(start_epoch, args.epochs):
@@ -252,13 +441,42 @@ def main(argv=None):
                         epoch, i + 1, loss, float(sched(state.step)),
                         seen / dt, seen / dt / n_dev,
                     )
-            if args.checkpoint_dir:
+                    if writer:
+                        writer.log({
+                            "loss": loss,
+                            "lr": float(sched(state.step)),
+                            "samples_per_s": seen / dt,
+                        }, step=int(state.step))
+            done = epoch + 1
+            if args.val_data and (done % args.val_frequency == 0
+                                  or done == args.epochs):
+                run_validation(done)
+            if args.imagenet_val and (done % args.zeroshot_frequency == 0
+                                      or done == args.epochs):
+                run_zero_shot(done)
+            if args.checkpoint_dir and (
+                    done % args.save_frequency == 0 or done == args.epochs
+                    or args.save_most_recent):
                 ckpt.save(
                     args.checkpoint_dir,
                     {"params": jax.device_get(state.params),
-                     "step": np.asarray(epoch + 1)},
-                    step=epoch + 1,
+                     "step": np.asarray(done)},
+                    step=done,
                 )
+                # --delete-previous-checkpoint / the transient
+                # --save-most-recent copy (reference main.py:480-504)
+                if prev_ckpt_step is not None and (
+                        args.delete_previous_checkpoint
+                        or (args.save_most_recent
+                            and prev_ckpt_step % args.save_frequency != 0)):
+                    import shutil
+
+                    old = os.path.join(
+                        args.checkpoint_dir,
+                        f"{ckpt.CKPT_PREFIX}{prev_ckpt_step}")
+                    if os.path.isdir(old):
+                        shutil.rmtree(old, ignore_errors=True)
+                prev_ckpt_step = done
     logging.info("done: %d steps", int(state.step))
     return state
 

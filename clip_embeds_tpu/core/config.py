@@ -26,6 +26,10 @@ class VisionConfig:
     head_width: int = 64
     mlp_ratio: float = 4.0
     pool_type: str = "tok"  # 'tok' | 'avg' | 'none'
+    # FLIP-style train-time patch dropout (arXiv:2212.00794; reference
+    # transformer.py:48-88 PatchDropout, --force-patch-dropout). Fraction of
+    # patch tokens dropped per sample during training; CLS always kept.
+    patch_dropout: float = 0.0
     no_ln_pre: bool = False
     final_ln_after_pool: bool = False
     # EVA02 tower variants (timm eva.py flags; models/eva.py):

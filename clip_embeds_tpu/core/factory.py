@@ -9,6 +9,7 @@ pretrained formats.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 from typing import Any, Dict, Optional, Tuple
@@ -30,6 +31,8 @@ def create_model(
     attn_impl: str = "auto",
     remat: bool = False,
     seed: int = 0,
+    force_quick_gelu: bool = False,
+    force_patch_dropout: Optional[float] = None,
 ) -> Tuple[CLIP, Dict[str, Any]]:
     """Build a CLIP model and its params.
 
@@ -47,6 +50,17 @@ def create_model(
     enable_persistent_cache()
 
     cfg = get_model_config(name, pretrained)
+    # train-time model overrides (reference params.py --force-quick-gelu /
+    # --force-patch-dropout, main.py:221-229)
+    if force_quick_gelu:
+        cfg = dataclasses.replace(cfg, quick_gelu=True)
+    if force_patch_dropout is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            vision=dataclasses.replace(
+                cfg.vision, patch_dropout=force_patch_dropout
+            ),
+        )
     model = CLIP(cfg, dtype=dtype, attn_impl=attn_impl, remat=remat)
 
     params = None

@@ -182,9 +182,14 @@ class CLIP(nn.Module):
             self.logit_bias = None
 
     def encode_image(
-        self, images: jax.Array, normalize: bool = False, output_tokens: bool = False
+        self, images: jax.Array, normalize: bool = False,
+        output_tokens: bool = False, deterministic: bool = True,
     ):
-        pooled, tokens = self.visual(images)
+        if not deterministic and self.cfg.vision.patch_dropout > 0.0 \
+                and self.cfg.vision.tower == "vit":
+            pooled, tokens = self.visual(images, deterministic=False)
+        else:
+            pooled, tokens = self.visual(images)
         if normalize:
             pooled = l2_normalize(pooled)
         return (pooled, tokens) if output_tokens else pooled
@@ -201,10 +206,13 @@ class CLIP(nn.Module):
         self,
         images: Optional[jax.Array] = None,
         text_ids: Optional[jax.Array] = None,
+        deterministic: bool = True,
     ) -> Dict[str, jax.Array]:
         out: Dict[str, jax.Array] = {"logit_scale": jnp.exp(self.logit_scale)}
         if images is not None:
-            out["image_features"] = self.encode_image(images, normalize=True)
+            out["image_features"] = self.encode_image(
+                images, normalize=True, deterministic=deterministic
+            )
         if text_ids is not None:
             out["text_features"] = self.encode_text(text_ids, normalize=True)
         if self.logit_bias is not None:

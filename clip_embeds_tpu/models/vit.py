@@ -65,12 +65,16 @@ class VisionTransformer(nn.Module):
         self,
         images: jax.Array,
         hidden_layer: Optional[int] = None,
+        deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         """images: [B, H, W, 3] float -> (pooled [B, embed_dim], tokens [B, N, W]).
 
         With ``hidden_layer`` set (e.g. -2), returns the raw hidden states
         [B, 1+N, W] after the corresponding block, HF hidden_states indexing
         (no ln_post, no projection) — the LLaVA feature tap.
+
+        ``deterministic=False`` enables train-time patch dropout when
+        cfg.patch_dropout > 0 (needs an rng under the 'patch_dropout' key).
         """
         cfg = self.cfg
         b = images.shape[0]
@@ -94,6 +98,22 @@ class VisionTransformer(nn.Module):
             (num_pos, cfg.width),
         )
         x = x + pos.astype(self.dtype)
+
+        if not deterministic and cfg.patch_dropout > 0.0:
+            # FLIP patch dropout (reference transformer.py:48-88): keep a
+            # static count of patch tokens per sample, CLS always retained.
+            # Random per-sample subset via uniform-noise top-k (matching the
+            # reference's randn topk selection in distribution) — static
+            # shapes so the whole train step stays one compiled program.
+            n_patches = x.shape[1] - 1
+            keep = max(1, int(n_patches * (1.0 - cfg.patch_dropout)))
+            rng = self.make_rng("patch_dropout")
+            noise = jax.random.uniform(rng, (b, n_patches))
+            keep_idx = jax.lax.top_k(noise, keep)[1]             # [B, keep]
+            patches = jnp.take_along_axis(
+                x[:, 1:], keep_idx[..., None], axis=1
+            )
+            x = jnp.concatenate([x[:, :1], patches], axis=1)
 
         if not cfg.no_ln_pre:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)

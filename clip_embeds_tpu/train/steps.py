@@ -70,9 +70,18 @@ def make_clip_train_step(
     'hard_texts' [H,ctx] and optional 'hard_valid' [H] bool.
     """
 
-    def compute_loss(params, batch):
+    # FLIP patch dropout is a train-time behavior: the step passes
+    # deterministic=False plus a per-step rng so eval/serving paths stay
+    # byte-stable (reference transformer.py PatchDropout is train-only).
+    use_patch_dropout = (
+        getattr(model.cfg.vision, "patch_dropout", 0.0) > 0.0
+        and model.cfg.vision.tower == "vit"
+    )
+
+    def compute_loss(params, batch, rngs=None):
         out = model.apply(
-            {"params": params}, batch["images"], batch["texts"]
+            {"params": params}, batch["images"], batch["texts"],
+            deterministic=not use_patch_dropout, rngs=rngs,
         )
         img, txt = out["image_features"], out["text_features"]
         scale = out["logit_scale"]
@@ -109,9 +118,13 @@ def make_clip_train_step(
             )
             metrics = {"logit_scale": scale}
         else:
+            rngs = None
+            if use_patch_dropout:
+                rngs = {"patch_dropout": jax.random.fold_in(
+                    jax.random.PRNGKey(0), state.step)}
             (loss, metrics), grads = jax.value_and_grad(
                 compute_loss, has_aux=True
-            )(state.params, batch)
+            )(state.params, batch, rngs)
         state = state.apply_gradients(grads)
         state = state.replace(params=_clamp_logit_scale(state.params))
         metrics = dict(metrics, loss=loss)
