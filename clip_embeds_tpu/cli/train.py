@@ -86,6 +86,15 @@ def parse_args(argv=None):
     p.add_argument("--save-frequency", type=int, default=1)
     p.add_argument("--save-most-recent", action="store_true")
     p.add_argument("--delete-previous-checkpoint", action="store_true")
+    p.add_argument("--epochs-cooldown", type=int, default=None,
+                   help="const-cooldown: cooldown over the last N epochs")
+    p.add_argument("--lr-cooldown-end", type=float, default=0.0)
+    p.add_argument("--lr-cooldown-power", type=float, default=1.0)
+    p.add_argument("--remote-sync", default=None,
+                   help="remote dir to sync checkpoints/logs to")
+    p.add_argument("--remote-sync-frequency", type=int, default=300)
+    p.add_argument("--remote-sync-protocol", default="s3",
+                   choices=["s3", "fsspec"])
     p.add_argument("--report-to", default="",
                    help="comma list: jsonl,tensorboard,wandb")
     p.add_argument("--logs", default=None,
@@ -229,7 +238,7 @@ def main(argv=None):
     from ..core.factory import create_model
     from ..parallel.mesh import batch_sharding, create_mesh
     from ..train.optim import adamw
-    from ..train.schedules import const_lr, cosine_lr
+    from ..train.schedules import const_lr, const_lr_cooldown, cosine_lr
     from ..train.steps import TrainState, make_clip_train_step
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
@@ -245,10 +254,17 @@ def main(argv=None):
     data_iter, steps_per_epoch = build_data(args, model.cfg)
     total_steps = steps_per_epoch * args.epochs
 
-    sched = (
-        cosine_lr(args.lr, args.warmup, total_steps)
-        if args.lr_scheduler == "cosine" else const_lr(args.lr, args.warmup)
-    )
+    if args.lr_scheduler == "cosine":
+        sched = cosine_lr(args.lr, args.warmup, total_steps)
+    elif args.lr_scheduler == "const-cooldown":
+        cooldown_steps = steps_per_epoch * (
+            args.epochs_cooldown if args.epochs_cooldown else args.epochs)
+        sched = const_lr_cooldown(
+            args.lr, args.warmup, total_steps, cooldown_steps,
+            args.lr_cooldown_power, args.lr_cooldown_end,
+        )
+    else:
+        sched = const_lr(args.lr, args.warmup)
     if args.accum_freq > 1 and args.grad_cache_chunks <= 1:
         # the reference's --accum-freq cached-feature replay
         # (train.py:113-162) IS the GradCache algorithm; route it there —
@@ -418,6 +434,16 @@ def main(argv=None):
         if writer:
             writer.log_eval(metrics, epoch)
 
+    # background checkpoint/log sync (reference remote_sync.py child
+    # process; here a daemon thread — core/remote_sync.py)
+    syncer = None
+    if args.remote_sync and args.checkpoint_dir:
+        from ..core.remote_sync import RemoteSync
+
+        syncer = RemoteSync(args.checkpoint_dir, args.remote_sync,
+                            every_seconds=args.remote_sync_frequency)
+        syncer.start()
+
     prev_ckpt_step = None
     logging.info("devices=%d steps/epoch=%d", n_dev, steps_per_epoch)
     with jax.sharding.set_mesh(mesh):
@@ -477,6 +503,8 @@ def main(argv=None):
                     if os.path.isdir(old):
                         shutil.rmtree(old, ignore_errors=True)
                 prev_ckpt_step = done
+    if syncer is not None:
+        syncer.stop(final_sync=True)
     logging.info("done: %d steps", int(state.step))
     return state
 

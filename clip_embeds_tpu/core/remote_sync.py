@@ -20,6 +20,10 @@ from typing import Callable, Optional
 def _sync_local(src: str, dst: str) -> None:
     os.makedirs(dst, exist_ok=True)
     for root, _dirs, files in os.walk(src):
+        # in-flight orbax writes land under *.orbax-checkpoint-tmp* and are
+        # atomically renamed when complete; mirroring them would publish
+        # partial checkpoints
+        _dirs[:] = [d for d in _dirs if ".orbax-checkpoint-tmp" not in d]
         rel = os.path.relpath(root, src)
         target_dir = os.path.join(dst, rel) if rel != "." else dst
         os.makedirs(target_dir, exist_ok=True)
