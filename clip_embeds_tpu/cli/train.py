@@ -86,6 +86,8 @@ def parse_args(argv=None):
     p.add_argument("--save-frequency", type=int, default=1)
     p.add_argument("--save-most-recent", action="store_true")
     p.add_argument("--delete-previous-checkpoint", action="store_true")
+    p.add_argument("--coca-caption-loss-weight", type=float, default=2.0)
+    p.add_argument("--coca-contrastive-loss-weight", type=float, default=1.0)
     p.add_argument("--epochs-cooldown", type=int, default=None,
                    help="const-cooldown: cooldown over the last N epochs")
     p.add_argument("--lr-cooldown-end", type=float, default=0.0)
@@ -133,7 +135,7 @@ def build_data(args, model_cfg) -> Iterator[Dict[str, np.ndarray]]:
         steps = len(ds) // args.batch_size
         return csv_batches(
             ds, args.batch_size, model_cfg.vision.image_size,
-            get_tokenizer(), seed=args.seed,
+            get_tokenizer(model_cfg.text.context_length), seed=args.seed,
         ), steps
     if dataset_type == "webdataset":
         from ..data.wds import (
@@ -153,8 +155,11 @@ def build_data(args, model_cfg) -> Iterator[Dict[str, np.ndarray]]:
             resampled=args.dataset_resampled, weights=weights,
         )
         steps = max(args.train_num_samples // args.batch_size, 1)
+        from ..text.tokenizer import get_tokenizer
+
         batches = wds_batches(
             ds, args.batch_size, image_size=model_cfg.vision.image_size,
+            tokenizer=get_tokenizer(model_cfg.text.context_length),
         )
         return batches, steps
     if dataset_type == "synthetic":
@@ -322,6 +327,14 @@ def main(argv=None):
         step_fn = lambda state, batch: distill_step(  # noqa: E731
             state, teacher_params, batch
         )
+    elif type(model).__name__ == "CoCa":
+        from ..train.steps import make_coca_train_step
+
+        step_fn = jax.jit(make_coca_train_step(
+            model,
+            caption_loss_weight=args.coca_caption_loss_weight,
+            clip_loss_weight=args.coca_contrastive_loss_weight,
+        ), donate_argnums=0)
     else:
         step_fn = jax.jit(make_clip_train_step(
             model, use_siglip=args.siglip, use_hard_text=args.usehardtext,

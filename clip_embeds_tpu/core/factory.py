@@ -49,6 +49,21 @@ def create_model(
 
     enable_persistent_cache()
 
+    # CoCa archs dispatch to their own model class, as the reference
+    # factory does by config shape (factory.py "coca" in model_name)
+    key = name.replace("/", "-")
+    from .config import MODEL_CONFIGS
+
+    if key not in MODEL_CONFIGS:
+        from .openclip_registry import classify_model, get_raw_model_config
+
+        if get_raw_model_config(key) is not None \
+                and classify_model(key)[0] == "coca":
+            return create_coca_model(
+                key, pretrained, dtype=dtype, seed=seed,
+                force_quick_gelu=force_quick_gelu,
+            )
+
     cfg = get_model_config(name, pretrained)
     # train-time model overrides (reference params.py --force-quick-gelu /
     # --force-patch-dropout, main.py:221-229)
@@ -80,6 +95,58 @@ def create_model(
     else:
         params = init_params(model, cfg, seed=seed)
     return model, params
+
+
+def create_coca_model(
+    name: str,
+    pretrained: Optional[str] = None,
+    dtype: Any = jnp.float32,
+    seed: int = 0,
+    force_quick_gelu: bool = False,
+):
+    """Build a CoCa model (+params) from a registry coca_* name.
+
+    Mirrors create_model's pretrained resolution; torch checkpoints convert
+    through torch_convert.convert_coca_state_dict."""
+    from ..models.coca import CoCa
+    from .openclip_registry import resolve_coca_config
+
+    cfg = resolve_coca_config(name)
+    if force_quick_gelu or pretrained in _QUICK_GELU_TAGS_COCA:
+        cfg = dataclasses.replace(cfg, quick_gelu=True)
+    model = CoCa(cfg, dtype=dtype)
+
+    path = None
+    if pretrained and os.path.exists(pretrained):
+        path = pretrained
+    elif pretrained:
+        ckpt_dir = os.environ.get("CLIP_EMBEDS_CKPT_DIR", "")
+        for ext in (".pt", ".pth", ".bin", ".npz"):
+            cand = os.path.join(ckpt_dir, f"{name}__{pretrained}{ext}")
+            if ckpt_dir and os.path.exists(cand):
+                path = cand
+                break
+    if path is not None:
+        if path.endswith((".pt", ".pth", ".bin")):
+            import torch
+
+            from .torch_convert import convert_coca_state_dict
+
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+            sd = sd.get("state_dict", sd)
+            params = convert_coca_state_dict(sd)
+        else:
+            flat = dict(np.load(path))
+            params = unflatten_params(flat)
+    else:
+        images = jnp.zeros(
+            (1, cfg.vision.image_size, cfg.vision.image_size, 3))
+        text = jnp.zeros((1, cfg.text.context_length), jnp.int32)
+        params = model.init(jax.random.PRNGKey(seed), images, text)["params"]
+    return model, params
+
+
+_QUICK_GELU_TAGS_COCA: Tuple[str, ...] = ()
 
 
 def init_params(model: CLIP, cfg: CLIPConfig, seed: int = 0) -> Dict[str, Any]:

@@ -133,6 +133,40 @@ def make_clip_train_step(
     return train_step
 
 
+def make_coca_train_step(
+    model,
+    caption_loss_weight: float = 2.0,
+    clip_loss_weight: float = 1.0,
+) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict]]:
+    """CoCa training step: contrastive + teacher-forced captioning loss
+    (reference coca training through CoCaLoss, loss.py:179-238, weights via
+    --coca-caption-loss-weight / --coca-contrastive-loss-weight)."""
+    from ..losses.coca import coca_loss
+
+    def compute_loss(params, batch):
+        out = model.apply({"params": params}, batch["images"], batch["texts"])
+        losses = coca_loss(
+            out, caption_loss_weight, clip_loss_weight,
+            pad_id=model.cfg.pad_id,
+        )
+        metrics = {
+            "contrastive_loss": losses["contrastive_loss"],
+            "caption_loss": losses["caption_loss"],
+            "logit_scale": out["logit_scale"],
+        }
+        return losses["loss"], metrics
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        (loss, metrics), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params, batch)
+        state = state.apply_gradients(grads)
+        state = state.replace(params=_clamp_logit_scale(state.params))
+        return state, dict(metrics, loss=loss)
+
+    return train_step
+
+
 def make_distill_train_step(
     model,
     teacher_model,

@@ -221,3 +221,46 @@ def test_train_cli_const_cooldown_and_remote_sync(tmp_path):
     completed = {d for d in os.listdir(ckpt_dir) if ".tmp" not in d}
     assert completed <= set(os.listdir(mirror))
     assert not any(".orbax-checkpoint-tmp" in d for d in os.listdir(mirror))
+
+
+def test_coca_train_step_decreases_loss():
+    from clip_embeds_tpu.core.config import TextConfig, VisionConfig
+    from clip_embeds_tpu.models.coca import CoCa, CoCaConfig, MultimodalConfig
+    from clip_embeds_tpu.train.optim import adamw
+    from clip_embeds_tpu.train.steps import TrainState, make_coca_train_step
+
+    cfg = CoCaConfig(
+        embed_dim=32,
+        vision=VisionConfig(image_size=32, patch_size=8, width=32, layers=2,
+                            head_width=16),
+        text=TextConfig(context_length=15, vocab_size=128, width=32, heads=2,
+                        layers=2),
+        multimodal=MultimodalConfig(context_length=15, width=32, heads=2,
+                                    layers=2),
+        attn_pooler_queries=8, attn_pooler_heads=2,
+    )
+    model = CoCa(cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    texts = jnp.asarray(rng.integers(1, 128, (4, 15)).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), images, texts)["params"]
+
+    step = jax.jit(make_coca_train_step(model, 2.0, 1.0))
+    state = TrainState.create(params, adamw(1e-3))
+    batch = {"images": images, "texts": texts}
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert float(metrics["caption_loss"]) > 0
+    assert float(metrics["contrastive_loss"]) > 0
+
+
+@pytest.mark.slow
+def test_factory_builds_coca_by_name():
+    model, params = create_model("coca_ViT-B-32")
+    assert type(model).__name__ == "CoCa"
+    assert model.cfg.embed_dim == 512
+    assert model.cfg.multimodal.layers == 12
+    assert "text_decoder" in params
