@@ -49,7 +49,7 @@ def parse_args(argv=None):
     p.add_argument("--grad-cache-chunks", type=int, default=0)
     p.add_argument("--grad-checkpointing", action="store_true")
     p.add_argument("--grad-checkpointing-policy", default="full",
-                   choices=["full", "dots"],
+                   choices=["full", "dots", "attn"],
                    help="'dots' keeps matmul outputs resident "
                         "(jax dots_with_no_batch_dims_saveable)")
     p.add_argument("--dataset-type", default="synthetic",
@@ -248,7 +248,8 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     remat = args.grad_checkpointing and (
-        "dots" if args.grad_checkpointing_policy == "dots" else True
+        args.grad_checkpointing_policy
+        if args.grad_checkpointing_policy in ("dots", "attn") else True
     )
     model, params = create_model(
         args.model, args.pretrained, dtype=dtype,

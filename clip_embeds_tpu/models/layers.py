@@ -99,13 +99,21 @@ class ResidualAttentionBlock(nn.Module):
         causal: bool = False,
         mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        from jax.ad_checkpoint import checkpoint_name
+
         attn = MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype,
             attn_impl=self.attn_impl, quant=self.quant, name="attn",
         )
-        x = x + attn(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
-                                  name="ln_1")(x),
-                     causal=causal, mask=mask)
+        # named so remat='attn' (save_only_these_names) can keep the
+        # attention output resident and skip its recompute in the backward
+        a = checkpoint_name(
+            attn(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                              name="ln_1")(x),
+                 causal=causal, mask=mask),
+            "attn_out",
+        )
+        x = x + a
         mlp = MLP(self.width, self.mlp_ratio, self.quick_gelu,
                   dtype=self.dtype, quant=self.quant, name="mlp")
         x = x + mlp(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
@@ -151,6 +159,13 @@ class Transformer(nn.Module):
                 import jax as _jax
 
                 policy = _jax.checkpoint_policies.                    dots_with_no_batch_dims_saveable
+            elif self.remat == "attn":
+                import jax as _jax
+
+                # keep per-block attention outputs ([B,N,D] bf16, ~77 MB/
+                # layer at ViT-L) resident; everything else recomputes
+                policy = _jax.checkpoint_policies.save_only_these_names(
+                    "attn_out")
             block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(2,),
                                  policy=policy)
         n = self.layers if num_blocks is None else num_blocks

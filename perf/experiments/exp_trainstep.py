@@ -43,6 +43,10 @@ def bench_variant(name: str):
         # dots_with_no_batch_dims_saveable: matmul outputs stay resident,
         # only elementwise/LN/softmax recompute in the backward pass
         remat = "dots"
+    elif "attn" in name:
+        # save_only_these_names('attn_out'): per-block attention outputs
+        # resident (~77 MB/layer bf16), the rest recomputes
+        remat = "attn"
     # explicit 'bs32' suffix only ('32' alone would match 'fp32mu')
     batch_size = BATCH_SMALL if name.endswith("bs32") else BATCH
     model = CLIP(base.cfg, dtype=jnp.bfloat16, remat=remat)

@@ -264,3 +264,24 @@ def test_factory_builds_coca_by_name():
     assert model.cfg.embed_dim == 512
     assert model.cfg.multimodal.layers == 12
     assert "text_decoder" in params
+
+
+def test_remat_attn_policy_grads_match_full_remat():
+    from clip_embeds_tpu.models.clip import CLIP
+
+    base, params = create_model("test-tiny", seed=0)
+    rng = np.random.default_rng(0)
+    batch_img = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    batch_txt = jnp.asarray(rng.integers(1, 200, (2, 77)).astype(np.int32))
+
+    def loss_fn(model):
+        def f(p):
+            out = model.apply({"params": p}, batch_img, batch_txt)
+            return (out["image_features"] * out["text_features"]).sum()
+        return jax.grad(f)(params)
+
+    g_full = loss_fn(CLIP(base.cfg, remat=True))
+    g_attn = loss_fn(CLIP(base.cfg, remat="attn"))
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_attn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
