@@ -112,7 +112,7 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def build_data(args, model_cfg) -> Iterator[Dict[str, np.ndarray]]:
+def build_data(args, model_cfg, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
     dataset_type = args.dataset_type
     if dataset_type == "auto":
         # reference get_dataset_fn auto rule (data.py:675-683)
@@ -135,7 +135,8 @@ def build_data(args, model_cfg) -> Iterator[Dict[str, np.ndarray]]:
         steps = len(ds) // args.batch_size
         return csv_batches(
             ds, args.batch_size, model_cfg.vision.image_size,
-            get_tokenizer(model_cfg.text.context_length), seed=args.seed,
+            get_tokenizer(model_cfg.text.context_length), epoch=epoch,
+            seed=args.seed,
         ), steps
     if dataset_type == "webdataset":
         from ..data.wds import (
@@ -160,6 +161,7 @@ def build_data(args, model_cfg) -> Iterator[Dict[str, np.ndarray]]:
         batches = wds_batches(
             ds, args.batch_size, image_size=model_cfg.vision.image_size,
             tokenizer=get_tokenizer(model_cfg.text.context_length),
+            epoch=epoch,
         )
         return batches, steps
     if dataset_type == "synthetic":
@@ -215,7 +217,8 @@ def build_val_batches(args, model_cfg):
         )
         return csv_batches(
             ds, args.batch_size, model_cfg.vision.image_size,
-            get_tokenizer(), shuffle=False, drop_last=False,
+            get_tokenizer(model_cfg.text.context_length),
+            shuffle=False, drop_last=False,
         )
     from ..data.wds import (
         ShardedTarDataset,
@@ -228,6 +231,7 @@ def build_val_batches(args, model_cfg):
     )
     return wds_batches(
         ds, args.batch_size, image_size=model_cfg.vision.image_size,
+        tokenizer=get_tokenizer(model_cfg.text.context_length),
         drop_last=False,
     )
 
@@ -276,6 +280,18 @@ def main(argv=None):
         # (train.py:113-162) IS the GradCache algorithm; route it there —
         # gradients are exact for the full accumulated batch
         args.grad_cache_chunks = args.accum_freq
+    if args.grad_cache_chunks > 1:
+        if args.siglip or args.usehardtext:
+            raise ValueError(
+                "--accum-freq/--grad-cache-chunks supports the standard "
+                "InfoNCE objective only (the cached-replay loss is "
+                "clip_loss); drop --siglip/--usehardtext or the accumulation"
+            )
+        if args.force_patch_dropout:
+            logging.warning(
+                "patch dropout is disabled on the grad-cache path "
+                "(the cached encode pass runs deterministically)"
+            )
 
     tx = adamw(sched, args.beta1, args.beta2, args.eps, args.wd,
                max_grad_norm=args.grad_clip_norm)
@@ -339,7 +355,7 @@ def main(argv=None):
     else:
         step_fn = jax.jit(make_clip_train_step(
             model, use_siglip=args.siglip, use_hard_text=args.usehardtext,
-            grad_cache_chunks=args.grad_cache_chunks,
+            grad_cache_chunks=args.grad_cache_chunks, seed=args.seed,
         ), donate_argnums=0)
 
     # metrics fan-out (reference --report-to; core/logging_utils.py)
@@ -357,6 +373,10 @@ def main(argv=None):
 
     eval_apply = jax.jit(lambda p, im, tx: model.apply(
         {"params": p}, im, tx))
+    eval_encode_text = jax.jit(lambda p, tx: model.apply(
+        {"params": p}, tx, normalize=True, method="encode_text"))
+    eval_encode_image = jax.jit(lambda p, im: model.apply(
+        {"params": p}, im, normalize=True, method="encode_image"))
 
     def run_validation(epoch: int):
         """Reference evaluate() (train.py:270-377): full-val-set contrastive
@@ -408,25 +428,20 @@ def main(argv=None):
         tok = get_tokenizer(model.cfg.text.context_length)
 
         def encode_texts(prompts):
-            out = eval_apply(
-                state.params,
-                jnp.zeros((len(prompts),
-                           model.cfg.vision.image_size,
-                           model.cfg.vision.image_size, 3), dtype),
-                jnp.asarray(tok(prompts)),
-            )
-            return np.asarray(out["text_features"], np.float32)
+            return np.asarray(eval_encode_text(
+                state.params, jnp.asarray(tok(prompts))), np.float32)
 
         classifier = build_zero_shot_classifier(
             encode_texts, meta["classnames"],
             [t for t in meta["templates"]],
         )
         samples, targets = [], []
-        classes = sorted(os.listdir(args.imagenet_val))
+        classes = sorted(
+            d for d in os.listdir(args.imagenet_val)
+            if os.path.isdir(os.path.join(args.imagenet_val, d))
+        )
         for ci, cls_dir in enumerate(classes):
             full = os.path.join(args.imagenet_val, cls_dir)
-            if not os.path.isdir(full):
-                continue
             for fn in sorted(os.listdir(full)):
                 samples.append(os.path.join(full, fn))
                 targets.append(ci)
@@ -434,12 +449,8 @@ def main(argv=None):
         def encode_images(paths):
             pixels = preprocess_batch(
                 list(paths), model.cfg.vision.image_size, "clip")
-            out = eval_apply(
-                state.params, jnp.asarray(pixels),
-                jnp.zeros((len(paths), model.cfg.text.context_length),
-                          jnp.int32),
-            )
-            return np.asarray(out["image_features"], np.float32)
+            return np.asarray(eval_encode_image(
+                state.params, jnp.asarray(pixels)), np.float32)
 
         acc = zero_shot_eval(encode_images, classifier, samples, targets,
                              batch_size=args.batch_size)
@@ -463,7 +474,7 @@ def main(argv=None):
     with jax.sharding.set_mesh(mesh):
         for epoch in range(start_epoch, args.epochs):
             if epoch > start_epoch or epoch > 0:
-                data_iter, _ = build_data(args, model.cfg)
+                data_iter, _ = build_data(args, model.cfg, epoch=epoch)
             t0 = time.perf_counter()
             seen = 0
             for i, batch in enumerate(data_iter):
@@ -495,8 +506,9 @@ def main(argv=None):
                                       or done == args.epochs):
                 run_zero_shot(done)
             if args.checkpoint_dir and (
-                    done % args.save_frequency == 0 or done == args.epochs
-                    or args.save_most_recent):
+                    (args.save_frequency > 0
+                     and done % args.save_frequency == 0)
+                    or done == args.epochs or args.save_most_recent):
                 ckpt.save(
                     args.checkpoint_dir,
                     {"params": jax.device_get(state.params),
@@ -508,7 +520,9 @@ def main(argv=None):
                 if prev_ckpt_step is not None and (
                         args.delete_previous_checkpoint
                         or (args.save_most_recent
-                            and prev_ckpt_step % args.save_frequency != 0)):
+                            and (args.save_frequency <= 0
+                                 or prev_ckpt_step % args.save_frequency
+                                 != 0))):
                     import shutil
 
                     old = os.path.join(

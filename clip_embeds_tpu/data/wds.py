@@ -190,12 +190,6 @@ def decode_raw_image_text(raw: Dict[str, bytes]) -> Optional[dict]:
         return None
 
 
-def _native_variant_kwargs(variant: str) -> Optional[dict]:
-    from ..image.loader import variant_kwargs
-
-    return variant_kwargs(variant)
-
-
 def wds_batches(
     dataset: ShardedTarDataset,
     batch_size: int,
@@ -216,8 +210,10 @@ def wds_batches(
     from ..image.preprocess import preprocess_batch
     from ..text.tokenizer import get_tokenizer
 
+    from ..image.loader import variant_kwargs
+
     tokenizer = tokenizer or get_tokenizer()
-    native_kwargs = _native_variant_kwargs(preprocess_variant)
+    native_kwargs = variant_kwargs(preprocess_variant)
 
     pending: List[dict] = []   # raw-bytes samples awaiting batch decode
     rows: List[np.ndarray] = []

@@ -197,6 +197,17 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_abort(item) -> bool:
+            """Bounded put that yields to a consumer abandoning iteration —
+            never blocks forever holding a decoded batch."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for start in range(0, len(self.paths), self.batch_size):
@@ -216,9 +227,10 @@ class PrefetchLoader:
                         fast_jpeg=self.fast_jpeg,
                         num_threads=self.num_threads,
                     )
-                    q.put((chunk, batch, ok))
+                    if not put_or_abort((chunk, batch, ok)):
+                        return
             finally:
-                q.put(None)
+                put_or_abort(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -36,6 +36,8 @@ extern "C" void resize_normalize_one(const uint8_t* in, int in_h, int in_w,
                                      float* out, int out_h, int out_w,
                                      const float* mean, const float* std_dev,
                                      int use_bicubic);
+// Defined below (extern "C" section).
+extern "C" int probe_image(const uint8_t* data, size_t len, int* h, int* w);
 
 namespace {
 
@@ -174,10 +176,22 @@ bool decode_any(const uint8_t* data, size_t len, std::vector<uint8_t>* rgb,
   return false;
 }
 
+// Decompression-bomb guard: mirror PIL's MAX_IMAGE_PIXELS default (~89 MP);
+// anything larger defers to the Python fallback (which applies PIL's own
+// bomb policy) instead of attempting a multi-GB allocation here.
+constexpr int64_t kMaxPixels = 89478485;
+
 // One sample: encoded bytes -> out[S,S,3] float32 normalized.
 bool process_one(const uint8_t* data, size_t len, float* out, int image_size,
                  const float* mean, const float* std_dev, int bicubic,
-                 int shortest_edge, int fast_jpeg) {
+                 int shortest_edge, int fast_jpeg) try {
+  {
+    int ph = 0, pw = 0;
+    if (probe_image(data, len, &ph, &pw) &&
+        static_cast<int64_t>(ph) * pw > kMaxPixels) {
+      return false;
+    }
+  }
   std::vector<uint8_t> rgb;
   int h = 0, w = 0;
   if (!decode_any(data, len, &rgb, &h, &w, fast_jpeg ? image_size : 0))
@@ -220,6 +234,11 @@ bool process_one(const uint8_t* data, size_t len, float* out, int image_size,
                 static_cast<size_t>(image_size) * 3 * sizeof(float));
   }
   return true;
+} catch (...) {
+  // bad_alloc (hostile header) or any codec-side throw: honor the ok=0
+  // fallback contract rather than letting the exception escape a worker
+  // thread (std::terminate would kill the whole process).
+  return false;
 }
 
 }  // namespace

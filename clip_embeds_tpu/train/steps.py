@@ -63,6 +63,7 @@ def make_clip_train_step(
     use_siglip: bool = False,
     use_hard_text: bool = False,
     grad_cache_chunks: int = 0,
+    seed: int = 0,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict]]:
     """Build a jittable CLIP train step.
 
@@ -121,7 +122,7 @@ def make_clip_train_step(
             rngs = None
             if use_patch_dropout:
                 rngs = {"patch_dropout": jax.random.fold_in(
-                    jax.random.PRNGKey(0), state.step)}
+                    jax.random.PRNGKey(seed), state.step)}
             (loss, metrics), grads = jax.value_and_grad(
                 compute_loss, has_aux=True
             )(state.params, batch, rngs)

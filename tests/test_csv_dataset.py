@@ -114,3 +114,26 @@ def test_train_cli_webdataset(tmp_path):
         "--precision", "fp32", "--log-every", "1",
     ])
     assert int(state.step) == 2
+
+
+def test_build_data_varies_order_across_epochs(tmp_path):
+    """cli.train.build_data must thread the epoch into the shuffle (epochs
+    previously all reused the epoch-0 order)."""
+    import argparse
+
+    from clip_embeds_tpu.cli.train import build_data
+    from clip_embeds_tpu.core.factory import create_model
+
+    path = _write_corpus(tmp_path, n=8)
+    model, _ = create_model("test-tiny")
+    args = argparse.Namespace(
+        dataset_type="csv", train_data=[path], batch_size=4, seed=0,
+        csv_img_key="filepath", csv_caption_key="title", csv_separator="\t",
+    )
+
+    def order(epoch):
+        it, _ = build_data(args, model.cfg, epoch=epoch)
+        return np.concatenate([b["texts"][:, 3] for b in it])
+
+    assert not np.array_equal(order(0), order(1))
+    np.testing.assert_array_equal(order(1), order(1))

@@ -212,3 +212,39 @@ def test_probe_image_dimensions(lib):
         assert (h.value, w.value) == (123, 77)
     assert lib.probe_image(ctypes.c_char_p(b"junk"), 4,
                            ctypes.byref(h), ctypes.byref(w)) == 0
+
+
+def test_decompression_bomb_defers_to_fallback(lib):
+    # native path must refuse headers above PIL's MAX_IMAGE_PIXELS rather
+    # than attempting the allocation (worker-thread bad_alloc would kill
+    # the process)
+    big = Image.new("RGB", (12000, 9000))  # 108 MP > 89.5 MP cap
+    buf = io.BytesIO()
+    big.save(buf, format="JPEG", quality=10)
+    res = native_decode_preprocess([buf.getvalue()], 64)
+    assert res is not None
+    _, ok = res
+    assert not ok[0]
+
+
+def test_prefetch_loader_abandoned_iteration_terminates(lib, tmp_path):
+    import threading
+    import time as _time
+
+    rng = np.random.default_rng(9)
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"img{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 256, (60, 60, 3), dtype=np.uint8)
+        ).save(p, format="JPEG")
+        paths.append(str(p))
+
+    before = threading.active_count()
+    it = iter(PrefetchLoader(paths, batch_size=2, image_size=32, prefetch=1))
+    next(it)
+    it.close()  # abandon mid-iteration; producer must not deadlock
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
