@@ -86,6 +86,10 @@ def parse_args(argv=None):
     p.add_argument("--save-frequency", type=int, default=1)
     p.add_argument("--save-most-recent", action="store_true")
     p.add_argument("--delete-previous-checkpoint", action="store_true")
+    p.add_argument("--fsdp", action="store_true",
+                   help="fully-shard params over the data axis "
+                        "(parallel/sharding_rules.py fsdp_param_specs; "
+                        "ZeRO-3-style, exact same math)")
     p.add_argument("--coca-caption-loss-weight", type=float, default=2.0)
     p.add_argument("--coca-contrastive-loss-weight", type=float, default=1.0)
     p.add_argument("--epochs-cooldown", type=int, default=None,
@@ -328,6 +332,13 @@ def main(argv=None):
     n_dev = len(jax.devices())
     mesh = create_mesh(n_dev, 1)
     sharding = batch_sharding(mesh)
+    if args.fsdp:
+        from ..parallel.sharding_rules import fsdp_shard_params
+
+        sharded_params = fsdp_shard_params(mesh, state.params)
+        state = state.replace(
+            params=sharded_params, opt_state=tx.init(sharded_params)
+        )
     # --distill is active when both teacher flags are set (main.py:208)
     distill = args.distill_model is not None and \
         args.distill_pretrained is not None

@@ -289,3 +289,44 @@ def test_distill_cli_synthetic(tmp_path):
         "--precision", "fp32", "--log-every", "1",
     ])
     assert int(state.step) == 2
+
+
+def test_fsdp_sharded_step_matches_single_device(tiny_model):
+    """FSDP param sharding (fsdp_param_specs over the data axis) preserves
+    the training trajectory exactly: XLA all-gathers params per use and
+    reduce-scatters grads; the math is unchanged."""
+    from clip_embeds_tpu.parallel.sharding_rules import (
+        fsdp_param_specs,
+        fsdp_shard_params,
+    )
+
+    model, params = tiny_model
+    batch = _batches(1, bs=16)[0]
+    step = jax.jit(make_clip_train_step(model))
+    s_ref = TrainState.create(params, adamw(1e-3))
+    s_ref, m_ref = step(s_ref, batch)
+    s_ref, m_ref2 = step(s_ref, batch)
+
+    mesh = create_mesh(8, 1)
+    specs = fsdp_param_specs(params, mesh, min_size=64)
+    # the tiny model must actually shard something for the test to mean much
+    import jax.tree_util as jtu
+    assert any(
+        any(ax is not None for ax in spec)
+        for spec in jtu.tree_leaves(specs, is_leaf=lambda x: isinstance(
+            x, jax.sharding.PartitionSpec))
+    )
+    sharded = fsdp_shard_params(mesh, params, min_size=64)
+    s_sh = TrainState.create(sharded, adamw(1e-3))
+    sharding = batch_sharding(mesh)
+    batch_sh = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    with jax.sharding.set_mesh(mesh):
+        s_sh, m_sh = step(s_sh, batch_sh)
+        s_sh, m_sh2 = step(s_sh, batch_sh)
+    np.testing.assert_allclose(
+        float(m_sh["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_sh2["loss"]), float(m_ref2["loss"]), rtol=1e-5)
+    # params remain FSDP-sharded after the update (no silent regather)
+    leaf = s_sh.params["visual"]["transformer"]["resblocks_0"]["mlp"]["c_fc"]["kernel"]
+    assert not leaf.sharding.is_fully_replicated

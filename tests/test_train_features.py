@@ -285,3 +285,20 @@ def test_remat_attn_policy_grads_match_full_remat():
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_attn)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_cli_fsdp(tmp_path):
+    """--fsdp trains with params sharded over the 8-device data axis."""
+    from clip_embeds_tpu.cli import train as train_cli
+
+    csv_path = _write_csv_corpus(tmp_path)
+    state = train_cli.main([
+        "--model", "test-tiny", "--dataset-type", "csv",
+        "--train-data", csv_path, "--batch-size", "8", "--epochs", "1",
+        "--precision", "fp32", "--log-every", "1", "--fsdp",
+    ])
+    assert int(state.step) == 2
+    leaf = state.params["visual"]["transformer"]["resblocks_0"]["mlp"][
+        "c_fc"]["kernel"]
+    assert not leaf.sharding.is_fully_replicated
