@@ -84,6 +84,9 @@ def parse_args(argv=None):
     p.add_argument("--lock-text-freeze-layer-norm", action="store_true")
     p.add_argument("--lock-image-unlocked-groups", type=int, default=0)
     p.add_argument("--save-frequency", type=int, default=1)
+    p.add_argument("--async-checkpoints", action="store_true",
+                   help="overlap checkpoint serialization with the next "
+                        "epoch (orbax AsyncCheckpointer)")
     p.add_argument("--save-most-recent", action="store_true")
     p.add_argument("--delete-previous-checkpoint", action="store_true")
     p.add_argument("--fsdp", action="store_true",
@@ -524,7 +527,7 @@ def main(argv=None):
                     args.checkpoint_dir,
                     {"params": jax.device_get(state.params),
                      "step": np.asarray(done)},
-                    step=done,
+                    step=done, blocking=not args.async_checkpoints,
                 )
                 # --delete-previous-checkpoint / the transient
                 # --save-most-recent copy (reference main.py:480-504)
@@ -536,12 +539,18 @@ def main(argv=None):
                                  != 0))):
                     import shutil
 
+                    if args.async_checkpoints:
+                        # the previous write must be committed before its
+                        # final-named dir can be pruned
+                        ckpt.wait_for_saves()
+
                     old = os.path.join(
                         args.checkpoint_dir,
                         f"{ckpt.CKPT_PREFIX}{prev_ckpt_step}")
                     if os.path.isdir(old):
                         shutil.rmtree(old, ignore_errors=True)
                 prev_ckpt_step = done
+    ckpt.wait_for_saves()
     if syncer is not None:
         syncer.stop(final_sync=True)
     logging.info("done: %d steps", int(state.step))

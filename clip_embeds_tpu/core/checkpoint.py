@@ -24,20 +24,43 @@ except Exception:  # pragma: no cover
 
 CKPT_PREFIX = "epoch_"
 
+# one long-lived async checkpointer: save() returns as soon as the host
+# copy is snapshotted, the serialization overlaps the next epoch's compute
+# (orbax commits atomically via the .orbax-checkpoint-tmp rename)
+_ASYNC: Optional["ocp.AsyncCheckpointer"] = None
+
+
+def _async_ckptr():
+    global _ASYNC
+    if _ASYNC is None:
+        _ASYNC = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC
+
 
 def save(
     directory: str,
     state: Any,
     step: int,
     keep: Optional[int] = None,
+    blocking: bool = True,
 ) -> str:
-    """Save a pytree under directory/epoch_<step>; returns the path."""
+    """Save a pytree under directory/epoch_<step>; returns the path.
+
+    blocking=False starts an async write and returns immediately; call
+    wait_for_saves() (or the next blocking save) before reading the path or
+    exiting the process."""
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{CKPT_PREFIX}{step}")
     if _HAS_ORBAX:
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path), state, force=True)
-        ckptr.wait_until_finished()
+        if blocking:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(os.path.abspath(path), state, force=True)
+            ckptr.wait_until_finished()
+        else:
+            _async_ckptr().save(
+                os.path.abspath(path), args=ocp.args.StandardSave(state),
+                force=True,
+            )
     else:  # tiny fallback for environments without orbax
         from .factory import flatten_params
 
@@ -45,6 +68,12 @@ def save(
     if keep:
         _prune(directory, keep)
     return path
+
+
+def wait_for_saves() -> None:
+    """Block until all async save() calls have committed."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:

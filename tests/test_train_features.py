@@ -302,3 +302,26 @@ def test_train_cli_fsdp(tmp_path):
     leaf = state.params["visual"]["transformer"]["resblocks_0"]["mlp"][
         "c_fc"]["kernel"]
     assert not leaf.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_train_cli_async_checkpoints(tmp_path):
+    from clip_embeds_tpu.cli import train as train_cli
+    from clip_embeds_tpu.core import checkpoint as ckpt
+
+    csv_path = _write_csv_corpus(tmp_path)
+    ckpt_dir = tmp_path / "ck"
+    state = train_cli.main([
+        "--model", "test-tiny", "--dataset-type", "csv",
+        "--train-data", csv_path, "--batch-size", "8", "--epochs", "2",
+        "--precision", "fp32", "--log-every", "1",
+        "--checkpoint-dir", str(ckpt_dir), "--async-checkpoints",
+        "--delete-previous-checkpoint",
+    ])
+    assert int(state.step) == 4
+    # all async writes committed, prune kept only the newest
+    kept = sorted(p for p in os.listdir(ckpt_dir) if p.startswith("epoch_"))
+    assert kept == ["epoch_2"]
+    restored = ckpt.resume(str(ckpt_dir), {
+        "params": jax.device_get(state.params), "step": np.asarray(0)})
+    assert int(restored["step"]) == 2
