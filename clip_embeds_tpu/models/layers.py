@@ -91,6 +91,10 @@ class ResidualAttentionBlock(nn.Module):
     attn_impl: str = "auto"
     quant: bool = False
     ln_eps: float = 1e-5
+    # checkpoint_name the attention output (for remat='attn' policies only;
+    # annotating unconditionally perturbs every model's HLO and invalidates
+    # the persistent compile cache)
+    name_attn_out: bool = False
 
     @nn.compact
     def __call__(
@@ -99,20 +103,19 @@ class ResidualAttentionBlock(nn.Module):
         causal: bool = False,
         mask: Optional[jax.Array] = None,
     ) -> jax.Array:
-        from jax.ad_checkpoint import checkpoint_name
-
         attn = MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype,
             attn_impl=self.attn_impl, quant=self.quant, name="attn",
         )
-        # named so remat='attn' (save_only_these_names) can keep the
-        # attention output resident and skip its recompute in the backward
-        a = checkpoint_name(
-            attn(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+        a = attn(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                               name="ln_1")(x),
-                 causal=causal, mask=mask),
-            "attn_out",
-        )
+                 causal=causal, mask=mask)
+        if self.name_attn_out:
+            from jax.ad_checkpoint import checkpoint_name
+
+            # named so remat='attn' (save_only_these_names) keeps the
+            # attention output resident, skipping its forward recompute
+            a = checkpoint_name(a, "attn_out")
         x = x + a
         mlp = MLP(self.width, self.mlp_ratio, self.quick_gelu,
                   dtype=self.dtype, quant=self.quant, name="mlp")
@@ -173,7 +176,8 @@ class Transformer(nn.Module):
             block = block_cls(
                 self.width, self.heads, self.mlp_ratio, self.quick_gelu,
                 dtype=self.dtype, attn_impl=self.attn_impl, quant=self.quant,
-                ln_eps=self.ln_eps, name=f"resblocks_{i}",
+                ln_eps=self.ln_eps, name_attn_out=self.remat == "attn",
+                name=f"resblocks_{i}",
             )
             x = block(x, causal, mask) if self.remat else block(
                 x, causal=causal, mask=mask)
