@@ -65,6 +65,9 @@ def parse_args(argv=None):
                    help="wds: sample shards with replacement")
     p.add_argument("--train-data-upsampling-factors", default=None,
                    help="wds: '::'-separated per-url weights")
+    p.add_argument("--wds-shuffle-buffer", type=int, default=2000,
+                   help="wds sample shuffle buffer (reference detshuffle "
+                        "_SAMPLE_SHUFFLE_INITIAL=2000)")
     p.add_argument("--val-data", default=None,
                    help="csv/tsv or wds tar of held-out pairs")
     p.add_argument("--val-frequency", type=int, default=1)
@@ -161,6 +164,7 @@ def build_data(args, model_cfg, epoch: int = 0) -> Iterator[Dict[str, np.ndarray
             else args.train_data[0],
             decode=decode_raw_image_text, seed=args.seed,
             resampled=args.dataset_resampled, weights=weights,
+            sample_shuffle_size=args.wds_shuffle_buffer,
         )
         steps = max(args.train_num_samples // args.batch_size, 1)
         from ..text.tokenizer import get_tokenizer
