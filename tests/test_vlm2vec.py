@@ -292,3 +292,35 @@ def test_vlm2vec_step_on_mesh_matches_single_device():
     np.testing.assert_allclose(
         float(m_mesh["loss"]), float(m_ref["loss"]), rtol=2e-5
     )
+
+
+def test_vlm2vec_step_with_fsdp_trunk_matches_single_device():
+    """FSDP alternative to TP for the frozen trunk: every large base-param
+    leaf sharded over 'data' (fsdp_param_specs); same loss as unsharded."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from clip_embeds_tpu.parallel.sharding_rules import fsdp_shard_params
+
+    model, base_params = tiny_llava()
+    lora = init_lora(base_params, rank=2, rng=jax.random.PRNGKey(1))
+    batch = _batch(n=8)
+    step = make_vlm2vec_train_step(model, base_params)
+    s0 = TrainState.create(lora, adamw(0.0, weight_decay=0.0))
+    _, m_ref = step(s0, batch)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    sharded_base = fsdp_shard_params(mesh, base_params, min_size=64)
+    step_sharded = make_vlm2vec_train_step(model, sharded_base)
+    batch_sharded = {
+        k: jax.device_put(v, NamedSharding(mesh, P("data")))
+        for k, v in batch.items()
+    }
+    s1 = TrainState.create(
+        jax.device_put(lora, NamedSharding(mesh, P())),
+        adamw(0.0, weight_decay=0.0),
+    )
+    with mesh:
+        _, m_mesh = jax.jit(step_sharded)(s1, batch_sharded)
+    np.testing.assert_allclose(
+        float(m_mesh["loss"]), float(m_ref["loss"]), rtol=2e-5
+    )
