@@ -325,3 +325,27 @@ def test_train_cli_async_checkpoints(tmp_path):
     restored = ckpt.resume(str(ckpt_dir), {
         "params": jax.device_get(state.params), "step": np.asarray(0)})
     assert int(restored["step"]) == 2
+
+
+@pytest.mark.slow
+def test_train_pacl_cli_both_objectives(tmp_path):
+    """PACL and SPARC head training end-to-end (frozen tiny tower, synthetic
+    pairs), saved head loads back into the eval scorer's head module."""
+    from clip_embeds_tpu.cli.train_pacl import main as pacl_main
+    from clip_embeds_tpu.core.factory import load_params
+
+    for objective in ("pacl", "sparc"):
+        out = tmp_path / f"{objective}_head.npz"
+        state = pacl_main([
+            "--objective", objective, "--model", "test-tiny",
+            "--synthetic", "--train-num-samples", "16",
+            "--batch-size", "8", "--epochs", "1", "--proj-dim", "32",
+            "--rope", "before" if objective == "pacl" else "none",
+            "--log-every", "1", "--output", str(out),
+        ])
+        assert int(state.step) == 2
+        restored = load_params(str(out))
+        assert "visual_projection" in restored
+        for a, b in zip(jax.tree.leaves(restored),
+                        jax.tree.leaves(jax.device_get(state.params))):
+            np.testing.assert_array_equal(a, b)
