@@ -65,9 +65,9 @@ def parse_args(argv=None):
                    help="wds: sample shards with replacement")
     p.add_argument("--train-data-upsampling-factors", default=None,
                    help="wds: '::'-separated per-url weights")
-    p.add_argument("--wds-shuffle-buffer", type=int, default=2000,
-                   help="wds sample shuffle buffer (reference detshuffle "
-                        "_SAMPLE_SHUFFLE_INITIAL=2000)")
+    p.add_argument("--wds-shuffle-buffer", type=int, default=5000,
+                   help="wds sample shuffle buffer (reference detshuffle2 "
+                        "_SAMPLE_SHUFFLE_SIZE=5000)")
     p.add_argument("--val-data", default=None,
                    help="csv/tsv or wds tar of held-out pairs")
     p.add_argument("--val-frequency", type=int, default=1)
@@ -543,10 +543,9 @@ def main(argv=None):
                                  != 0))):
                     import shutil
 
-                    if args.async_checkpoints:
-                        # the previous write must be committed before its
-                        # final-named dir can be pruned
-                        ckpt.wait_for_saves()
+                    # (async: orbax AsyncCheckpointer serializes saves —
+                    # by the time save(N) returned, save(N-1) had committed,
+                    # so pruning the previous dir here is safe without a wait)
 
                     old = os.path.join(
                         args.checkpoint_dir,

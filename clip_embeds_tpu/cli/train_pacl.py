@@ -106,7 +106,7 @@ def main(argv=None):
         args.model, args.pretrained, dtype=dtype, seed=args.seed,
     )
     cfg = model.cfg
-    num_patches = (cfg.vision.image_size // cfg.vision.patch_size) ** 2
+    num_patches = cfg.vision.num_patches
 
     use_llm_embeds = bool(args.embed_paths)
     if args.objective == "pacl":
@@ -119,7 +119,8 @@ def main(argv=None):
             proj_dim=args.proj_dim, rope=args.rope != "none",
             dropout=args.dropout, dtype=dtype,
         )
-    sigma = args.sparc_sigma or 1.0 / num_patches
+    sigma = (args.sparc_sigma if args.sparc_sigma is not None
+             else 1.0 / num_patches)
 
     # frozen-tower features (params as jit args; output_tokens taps)
     def frozen_features(clip_p, batch):
@@ -146,19 +147,21 @@ def main(argv=None):
             img_f, txt_f = head.apply(
                 {"params": head_params}, patches, text_feat, train=True,
                 rngs={"dropout": jax.random.fold_in(
-                    jax.random.PRNGKey(args.seed), batch["texts"][0, 1])},
+                    jax.random.PRNGKey(args.seed), batch["_step"])},
             )
             loss = pacl_clip_loss(img_f, txt_f, args.temperature)
             return loss, {}
         vproj, tproj = head.apply(
             {"params": head_params}, patches, text_feat, train=True,
             rngs={"dropout": jax.random.fold_in(
-                jax.random.PRNGKey(args.seed), batch["texts"][0, 1])},
+                jax.random.PRNGKey(args.seed), batch["_step"])},
         )
         from ..models.clip import l2_normalize
 
         tnorm = l2_normalize(tproj)
-        grouped = sparc_group_patches(vproj, tnorm, sigma=sigma)
+        # reference pacl.py:475 normalizes the grouped embeddings before the
+        # local InfoNCE (sparc_loss's contract; parity test does the same)
+        grouped = l2_normalize(sparc_group_patches(vproj, tnorm, sigma=sigma))
         mask = language_mask_from_ids(batch["texts"]).astype(jnp.float32)
         loss = sparc_loss(
             vproj, tnorm, grouped, mask,
@@ -173,7 +176,7 @@ def main(argv=None):
         if not args.synthetic:
             raise SystemExit("--data (+ --image-roots) or --synthetic needed")
         embed_dim = 4096 if use_llm_embeds else None
-        batches = lambda: _synthetic_batches(  # noqa: E731
+        batches = lambda epoch=0: _synthetic_batches(  # noqa: E731
             args, cfg.vision.image_size, cfg.text.context_length, embed_dim)
     else:
         from ..data.pacl_data import PACLCaptionDataset, pacl_batches
@@ -185,8 +188,8 @@ def main(argv=None):
             embed_paths=args.embed_paths, seed=args.seed,
         )
         tok = get_tokenizer(cfg.text.context_length)
-        batches = lambda: pacl_batches(  # noqa: E731
-            ds, args.batch_size, tokenizer=tok, seed=args.seed)
+        batches = lambda epoch=0: pacl_batches(  # noqa: E731
+            ds, args.batch_size, tokenizer=tok, seed=args.seed, epoch=epoch)
 
     first = next(iter(batches()))
     clip_params = jax.device_put(clip_params)
@@ -204,11 +207,14 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree.leaves(head_params))
     logging.info("objective=%s trainable head params=%d (frozen tower: %s)",
                  args.objective, n_params, args.model)
+    global_step = 0
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         seen = 0
-        for i, batch in enumerate(batches()):
+        for i, batch in enumerate(batches(epoch)):
             batch = jax.tree.map(jnp.asarray, batch)
+            batch["_step"] = jnp.asarray(global_step, jnp.int32)
+            global_step += 1
             state, metrics = step(state, clip_params, batch)
             seen += args.batch_size
             if (i + 1) % args.log_every == 0 or i == 0:

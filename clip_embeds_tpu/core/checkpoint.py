@@ -53,6 +53,9 @@ def save(
     path = os.path.join(directory, f"{CKPT_PREFIX}{step}")
     if _HAS_ORBAX:
         if blocking:
+            # honor the documented contract: a blocking save also flushes
+            # any earlier async saves before returning
+            wait_for_saves()
             ckptr = ocp.StandardCheckpointer()
             ckptr.save(os.path.abspath(path), state, force=True)
             ckptr.wait_until_finished()

@@ -191,6 +191,7 @@ def pacl_batches(
     tokenizer: Optional[BPETokenizer] = None,
     shuffle: bool = True,
     seed: int = 0,
+    epoch: int = 0,
     num_workers: int = 8,
 ) -> Iterator[Dict[str, np.ndarray]]:
     from concurrent.futures import ThreadPoolExecutor
@@ -198,7 +199,8 @@ def pacl_batches(
     tokenizer = tokenizer or get_tokenizer()
     order = np.arange(len(dataset))
     if shuffle:
-        np.random.default_rng(seed).shuffle(order)
+        # per-epoch reshuffle (torch DataLoader(shuffle=True) semantics)
+        np.random.default_rng((seed, epoch)).shuffle(order)
     with ThreadPoolExecutor(num_workers) as pool:
         for start in range(0, len(order) - batch_size + 1, batch_size):
             items = list(pool.map(dataset.get, order[start : start + batch_size]))
