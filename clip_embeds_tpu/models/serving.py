@@ -456,3 +456,71 @@ def fused_encode_text_int8(
     pooled, _ = text_global_pool(x, text_ids, cfg.pool_type)
     pooled = pooled @ p["text_projection"].astype(dtype)
     return l2_normalize(pooled) if normalize else pooled
+
+
+# -- SigLIP fused serving ----------------------------------------------------
+
+
+def siglip_fused_available(vision_cfg) -> bool:
+    """Shapes the fused kernel handles for a SigLIP vision tower."""
+    n = _round_up((vision_cfg.image_size // vision_cfg.patch_size) ** 2, 16)
+    return fused_block_supported(
+        n, vision_cfg.width, vision_cfg.heads,
+        vision_cfg.intermediate_size / vision_cfg.width,
+    )
+
+
+def fused_encode_image_siglip(
+    model,                         # models.siglip.Siglip
+    params: Dict[str, Any],
+    images: jax.Array,
+    normalize: bool = True,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Siglip.encode_image via fused block kernels.
+
+    The SigLIP block (models/siglip.py SiglipBlock) is a pre-LN stack with a
+    packed qkv in_proj — the same contract as ops/fused_block.py, with
+    tanh-GELU MLPs and eps=1e-6. There is no CLS token; every token feeds
+    the MAP head, which runs as a small XLA epilogue (one probe query).
+    """
+    from .siglip import SiglipMAPHead, tanh_gelu  # noqa: F401
+
+    cfg = model.cfg.vision
+    p = params["vision_model"]
+    x = patchify(images.astype(dtype), cfg.patch_size)
+    x = x @ p["patch_embed"]["kernel"].astype(dtype) \
+        + p["patch_embed"]["bias"].astype(dtype)
+    x = x + p["position_embedding"].astype(dtype)
+    n_valid = x.shape[1]
+
+    align = 8 if interpret else 16
+    n_pad = _round_up(n_valid, align)
+    if n_pad != n_valid:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n_valid), (0, 0)])
+
+    for i in range(cfg.layers):
+        bp = p[f"blocks_{i}"]
+        x = fused_block(
+            x,
+            bp["in_proj"]["kernel"], bp["in_proj"]["bias"],
+            bp["out_proj"]["kernel"], bp["out_proj"]["bias"],
+            bp["fc1"]["kernel"], bp["fc1"]["bias"],
+            bp["fc2"]["kernel"], bp["fc2"]["bias"],
+            jnp.stack([bp["ln_1"]["scale"], bp["ln_1"]["bias"]]),
+            jnp.stack([bp["ln_2"]["scale"], bp["ln_2"]["bias"]]),
+            heads=cfg.heads, kv_valid=n_valid, act="tanh",
+            ln_eps=cfg.layer_norm_eps, interpret=interpret,
+        )
+    x = x[:, :n_valid]
+    x = _ln_affine(x, p["post_layernorm"]["scale"],
+                   p["post_layernorm"]["bias"], eps=cfg.layer_norm_eps)
+
+    # MAP-head epilogue (XLA): probe attention over all tokens + MLP
+    head = SiglipMAPHead(
+        cfg.width, cfg.heads, cfg.intermediate_size, cfg.layer_norm_eps,
+        dtype=dtype,
+    )
+    pooled = head.apply({"params": p["head"]}, x)
+    return l2_normalize(pooled) if normalize else pooled

@@ -25,10 +25,16 @@ Dtype = Any
 
 
 def patchify(images: jax.Array, patch_size: int) -> jax.Array:
-    """[B, H, W, C] -> [B, gh*gw, p*p*C] with (ph, pw, c) minor ordering."""
+    """[B, H, W, C] -> [B, gh*gw, p*p*C] with (ph, pw, c) minor ordering.
+
+    Non-divisible sizes crop the bottom/right remainder — torch Conv2d
+    valid-padding semantics (e.g. SigLIP so400m-patch14-384: 384//14 = 27
+    patches, the trailing 6 pixels are dropped)."""
     b, h, w, c = images.shape
     p = patch_size
     gh, gw = h // p, w // p
+    if h != gh * p or w != gw * p:
+        images = images[:, : gh * p, : gw * p]
     x = images.reshape(b, gh, p, gw, p, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, p, p, C]
     return x.reshape(b, gh * gw, p * p * c)

@@ -60,6 +60,14 @@ def _ln(x, scale, bias, eps):
             + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def _apply_act(m1, act: str):
+    if act == "quick":
+        return m1 * jax.nn.sigmoid(1.702 * m1)
+    if act == "tanh":        # gelu_pytorch_tanh (SigLIP towers)
+        return jax.nn.gelu(m1, approximate=True)
+    return jax.nn.gelu(m1, approximate=False)
+
+
 def _dot(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -114,7 +122,7 @@ def _kernel(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, w1_ref, b1_ref, w2_ref,
     b2_ref, g1_ref, g2_ref, brow_ref, o_ref, *,
     rows: int, heads: int, scale: float, n_kv: int, kv_valid: int,
-    quick_gelu: bool, ln_eps: float, causal: bool,
+    act: str, ln_eps: float, causal: bool,
 ):
     for r in range(rows):
         x = x_ref[r]                               # [n, d]
@@ -130,11 +138,7 @@ def _kernel(
 
         h = _ln(x, g2_ref[0, 0], g2_ref[0, 1], ln_eps)
         m1 = _dot(h, w1_ref[...]) + b1_ref[0].astype(jnp.float32)
-        if quick_gelu:
-            m1 = m1 * jax.nn.sigmoid(1.702 * m1)
-        else:
-            m1 = jax.nn.gelu(m1, approximate=False)
-        m1 = m1.astype(x.dtype)
+        m1 = _apply_act(m1, act).astype(x.dtype)
         x = x + (_dot(m1, w2_ref[...])
                  + b2_ref[0].astype(jnp.float32)).astype(x.dtype)
         o_ref[r] = x
@@ -181,9 +185,11 @@ def fused_block(
     ln_eps: float = 1e-5,
     causal: bool = False,
     n_kv: Optional[int] = None,
+    act: Optional[str] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """One fused pre-LN transformer block; returns [B, n, d]."""
+    act = act or ("quick" if quick_gelu else "erf")
     b, n, d = x.shape
     mlp = w1.shape[1]
     dt = x.dtype
@@ -221,7 +227,7 @@ def fused_block(
     return pl.pallas_call(
         functools.partial(
             _kernel, rows=rows, heads=heads, scale=(d // heads) ** -0.5,
-            n_kv=n_kv, kv_valid=kv_valid, quick_gelu=quick_gelu,
+            n_kv=n_kv, kv_valid=kv_valid, act=act,
             ln_eps=ln_eps, causal=causal,
         ),
         grid=(b // rows,),
@@ -279,7 +285,7 @@ def _kernel_int8(
     w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, g1_ref, g2_ref,
     ascale_ref, brow_ref, o_ref, *,
     rows: int, heads: int, scale: float, n_kv: int, kv_valid: int,
-    quick_gelu: bool, ln_eps: float, causal: bool,
+    act: str, ln_eps: float, causal: bool,
 ):
     for r in range(rows):
         x = x_ref[r]
@@ -295,10 +301,7 @@ def _kernel_int8(
 
         h32 = _ln(x, g2_ref[0, 0], g2_ref[0, 1], ln_eps).astype(jnp.float32)
         m1 = _qdot(h32, a[2], w1_ref, s1_ref, b1_ref)
-        if quick_gelu:
-            m1 = m1 * jax.nn.sigmoid(1.702 * m1)
-        else:
-            m1 = jax.nn.gelu(m1, approximate=False)
+        m1 = _apply_act(m1, act)
         x = x + _qdot(m1, a[3], w2_ref, s2_ref, b2_ref).astype(x.dtype)
         o_ref[r] = x
 
@@ -317,8 +320,10 @@ def fused_block_int8(
     ln_eps: float = 1e-5,
     n_kv: Optional[int] = None,
     causal: bool = False,
+    act: Optional[str] = None,
     interpret: bool = False,
 ) -> jax.Array:
+    act = act or ("quick" if quick_gelu else "erf")
     b, n, d = x.shape
     mlp = w1_q.shape[1]
     dt = x.dtype
@@ -357,7 +362,7 @@ def fused_block_int8(
     return pl.pallas_call(
         functools.partial(
             _kernel_int8, rows=rows, heads=heads, scale=(d // heads) ** -0.5,
-            n_kv=n_kv, kv_valid=kv_valid, quick_gelu=quick_gelu,
+            n_kv=n_kv, kv_valid=kv_valid, act=act,
             ln_eps=ln_eps, causal=causal,
         ),
         grid=(b // rows,),

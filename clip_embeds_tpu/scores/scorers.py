@@ -350,11 +350,34 @@ class SiglipScorer:
         self.batch_size = batch_size
         self.image_size = model.cfg.vision.image_size
 
-        @jax.jit
-        def _encode_images(params, images):
-            return model.apply(
-                {"params": params}, images, method="encode_image"
-            )
+        # TPU: route the image tower through the fused block kernels
+        # (models/serving.py fused_encode_image_siglip; tanh-GELU blocks +
+        # MAP-head epilogue, parity-tested)
+        use_fused = False
+        try:
+            from ..models.serving import siglip_fused_available
+
+            use_fused = (jax.default_backend() == "tpu"
+                         and siglip_fused_available(model.cfg.vision))
+        except Exception:
+            pass
+
+        if use_fused:
+            from ..models.serving import fused_encode_image_siglip
+
+            fdtype = getattr(model, "dtype", dtype)
+
+            @jax.jit
+            def _encode_images(params, images):
+                return fused_encode_image_siglip(
+                    model, params, images, normalize=True, dtype=fdtype
+                )
+        else:
+            @jax.jit
+            def _encode_images(params, images):
+                return model.apply(
+                    {"params": params}, images, method="encode_image"
+                )
 
         @jax.jit
         def _encode_texts(params, ids):

@@ -156,3 +156,49 @@ def test_fused_text_int8_parity():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(got), axis=-1), 1.0, rtol=1e-5
     )
+
+
+def test_fused_encode_image_siglip_parity():
+    """SigLIP fused serving path (tanh-GELU blocks + MAP-head epilogue) ==
+    the composable Siglip.encode_image."""
+    from clip_embeds_tpu.models.serving import fused_encode_image_siglip
+    from clip_embeds_tpu.models.siglip import (
+        Siglip,
+        SiglipConfig,
+        SiglipTextConfig,
+        SiglipVisionConfig,
+    )
+
+    cfg = SiglipConfig(
+        vision=SiglipVisionConfig(image_size=32, patch_size=16, width=64,
+                                  layers=2, heads=4, intermediate_size=128),
+        text=SiglipTextConfig(vocab_size=200, width=64, layers=2, heads=4,
+                              intermediate_size=128,
+                              max_position_embeddings=16),
+    )
+    model = Siglip(cfg)
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, 100, (2, 16)).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), images, ids)["params"]
+
+    want = model.apply({"params": params}, images, normalize=True,
+                       method="encode_image")
+    got = fused_encode_image_siglip(
+        model, params, images, dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_patchify_truncates_nondivisible_like_conv_valid():
+    """384/14-style shapes: bottom/right remainder pixels drop (torch Conv2d
+    valid padding), so so400m-patch14-384 yields 27x27 patches."""
+    from clip_embeds_tpu.models.vit import patchify
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((1, 62, 47, 3)).astype(np.float32)
+    out = np.asarray(patchify(jnp.asarray(img), 14))
+    assert out.shape == (1, (62 // 14) * (47 // 14), 14 * 14 * 3)
+    ref = np.asarray(patchify(jnp.asarray(img[:, :56, :42]), 14))
+    np.testing.assert_array_equal(out, ref)
