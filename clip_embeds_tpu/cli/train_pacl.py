@@ -56,6 +56,14 @@ def parse_args(argv=None):
                    help="patch-grouping threshold (default 1/num_patches)")
     p.add_argument("--sparc-global-weight", type=float, default=0.5)
     p.add_argument("--sparc-local-weight", type=float, default=1.0)
+    p.add_argument("--frozen-tower", default="auto",
+                   choices=["auto", "composable", "fused", "int8"],
+                   help="how the frozen CLIP tower runs: the composable "
+                        "flax path, the fused serving kernels (bf16, ~2x), "
+                        "or W8A8 int8 fused (~3x; calibrated on the first "
+                        "batch). 'auto' picks fused on TPU when the shapes "
+                        "fit and the first-batch cosine vs composable "
+                        "passes >= 0.999")
     p.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--output", default=None, help="head params .npz path")
@@ -141,8 +149,52 @@ def main(argv=None):
         )
         return patches, txt
 
-    def loss_of_params(head_params, clip_p, batch):
-        patches, text_feat = frozen_features(clip_p, batch)
+    def make_frozen_features_fused(qtower=None):
+        """Frozen tower through the fused serving kernels (models/serving.py).
+
+        The tower sits under stop_gradient either way (only the heads
+        train), so the forward-only fused path is legal in the train loop —
+        bf16 fused is ~2x the composable forward, W8A8 ~3x (PERF.md). The
+        reference's own precomputed-LLM-embedding route (pacl.py:127-131)
+        is the same move for the text side. Text tokens for SPARC stay
+        composable (the fused text kernel returns pooled features only).
+        """
+        from ..models.serving import (
+            fused_encode_image,
+            fused_encode_image_int8,
+            fused_encode_text,
+        )
+
+        def feats(clip_p, batch):
+            images = batch["images"].astype(jnp.bfloat16)
+            if qtower is not None:
+                _, patches = fused_encode_image_int8(
+                    model, clip_p, qtower, images, normalize=False,
+                    output_tokens=True,
+                )
+            else:
+                _, patches = fused_encode_image(
+                    model, clip_p, images, normalize=False,
+                    output_tokens=True,
+                )
+            patches = patches.astype(dtype)
+            if args.objective == "sparc":
+                _, tok = model.apply(
+                    {"params": clip_p}, batch["texts"], output_tokens=True,
+                    method="encode_text",
+                )
+                return patches, tok
+            if use_llm_embeds or "text_embeddings" in batch:
+                return patches, batch["text_embeddings"].astype(dtype)
+            txt = fused_encode_text(
+                model, clip_p, batch["texts"], normalize=False,
+            )
+            return patches, txt.astype(dtype)
+
+        return feats
+
+    def loss_of_params(head_params, feats, batch):
+        patches, text_feat = feats
         if args.objective == "pacl":
             img_f, txt_f = head.apply(
                 {"params": head_params}, patches, text_feat, train=True,
@@ -191,9 +243,58 @@ def main(argv=None):
         batches = lambda epoch=0: pacl_batches(  # noqa: E731
             ds, args.batch_size, tokenizer=tok, seed=args.seed, epoch=epoch)
 
-    first = next(iter(batches()))
+    first = jax.tree.map(jnp.asarray, next(iter(batches())))
     clip_params = jax.device_put(clip_params)
-    patches, text_feat = jax.jit(frozen_features)(clip_params, first)
+
+    # frozen-tower route: the tower never takes gradients, so serving-path
+    # kernels are legal here; gate on first-batch cosine vs the composable
+    # taps (>= 0.999) before trusting them for training
+    from ..models.serving import fused_path_available
+
+    route = args.frozen_tower
+    on_tpu = jax.default_backend() == "tpu"
+    if route == "auto":
+        route = ("fused" if on_tpu and fused_path_available(model)
+                 else "composable")
+    elif route != "composable" and not on_tpu:
+        logging.warning("--frozen-tower %s needs a TPU backend; falling "
+                        "back to composable", route)
+        route = "composable"
+
+    tower_fn = jax.jit(frozen_features)
+    if route in ("fused", "int8"):
+        qtower = None
+        if route == "int8":
+            from ..models.serving import prepare_int8_tower
+
+            logging.info("calibrating W8A8 tower on the first batch "
+                         "(%d images)", first["images"].shape[0])
+            qtower = prepare_int8_tower(
+                model, clip_params, first["images"].astype(jnp.bfloat16))
+        fused_fn = jax.jit(make_frozen_features_fused(qtower))
+        ref_p, _ = tower_fn(clip_params, first)
+        got_p, _ = fused_fn(clip_params, first)
+        r = np.asarray(ref_p, np.float32).reshape(-1)
+        g = np.asarray(got_p, np.float32).reshape(-1)
+        cos = float(np.dot(r, g)
+                    / (np.linalg.norm(r) * np.linalg.norm(g) + 1e-12))
+        logging.info("frozen-tower %s patch-token cosine vs composable: "
+                     "%.6f", route, cos)
+        if cos >= 0.999:
+            tower_fn = fused_fn
+        elif args.frozen_tower == "auto":
+            logging.warning("fused tower cosine %.6f < 0.999 — falling "
+                            "back to the composable path", cos)
+            route = "composable"
+        else:
+            raise SystemExit(
+                f"--frozen-tower {route}: first-batch cosine {cos:.6f} "
+                "< 0.999 vs the composable tower; refusing to train on "
+                "out-of-tolerance features (rerun with --frozen-tower "
+                "composable or recalibrate)")
+    logging.info("frozen tower route: %s", route)
+
+    patches, text_feat = tower_fn(clip_params, first)
     head_params = head.init(
         jax.random.PRNGKey(args.seed), np.asarray(patches),
         np.asarray(text_feat),
@@ -213,9 +314,12 @@ def main(argv=None):
         seen = 0
         for i, batch in enumerate(batches(epoch)):
             batch = jax.tree.map(jnp.asarray, batch)
+            # feats first: tower_fn's jit signature stays identical to the
+            # startup/gate call (no "_step" leaf -> no retrace)
+            feats = tower_fn(clip_params, batch)
             batch["_step"] = jnp.asarray(global_step, jnp.int32)
             global_step += 1
-            state, metrics = step(state, clip_params, batch)
+            state, metrics = step(state, feats, batch)
             seen += args.batch_size
             if (i + 1) % args.log_every == 0 or i == 0:
                 logging.info(

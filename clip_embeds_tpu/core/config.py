@@ -185,6 +185,17 @@ MODEL_CONFIGS["test-tiny"] = _cfg(
     dict(width=64, heads=2, layers=2, vocab_size=49408),
 )
 
+# Flagship-SHAPED 2-layer config: ViT-L/14-336 tower dimensions (width 1024,
+# head_dim 64, 577 tokens at 336px; text width 768/heads 12) with the depth
+# cut to 2 so the multi-chip dry run can certify the production sharding
+# layout (dp x tp PartitionSpecs at real shapes) on a virtual mesh without
+# real chips. Not in the reference.
+MODEL_CONFIGS["test-vitl-2layer"] = _cfg(
+    768,
+    dict(image_size=336, patch_size=14, width=1024, layers=2, head_width=64),
+    dict(width=768, heads=12, layers=2, vocab_size=49408),
+)
+
 
 # (model, pretrained_tag) pairs that use QuickGELU activations. OpenAI weights
 # always do (reference factory.py quick_gelu routing / pretrained.py 'openai').

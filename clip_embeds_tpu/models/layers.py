@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, constrain
 from .quant import dense
 
 Dtype = Any
@@ -56,13 +57,19 @@ class MultiHeadAttention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(t):
-            return t.reshape(b, n, self.heads, head_dim).transpose(0, 2, 1, 3)
+            # heads ride the model axis under Megatron TP (column-parallel
+            # in_proj shards the feature dim = head blocks); anchoring the
+            # layout here keeps the partitioner from replicating attention
+            # intermediates every block (round-2 SPMD remat warnings)
+            t = t.reshape(b, n, self.heads, head_dim).transpose(0, 2, 1, 3)
+            return constrain(t, DATA_AXIS, MODEL_AXIS, None, None)
 
         out = dot_product_attention(
             split_heads(q), split_heads(k), split_heads(v),
             causal=causal, mask=mask, impl=self.attn_impl,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.width)
+        out = constrain(out, DATA_AXIS, None, MODEL_AXIS)
         return dense(self.quant, self.width, dtype=self.dtype,
                      name="out_proj")(out)
 
@@ -78,6 +85,8 @@ class MLP(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         hidden = int(self.width * self.mlp_ratio)
         x = dense(self.quant, hidden, dtype=self.dtype, name="c_fc")(x)
+        # column-parallel c_fc shards the hidden features over the model axis
+        x = constrain(x, DATA_AXIS, None, MODEL_AXIS)
         x = get_act(self.quick_gelu)(x)
         return dense(self.quant, self.width, dtype=self.dtype, name="c_proj")(x)
 
@@ -116,11 +125,16 @@ class ResidualAttentionBlock(nn.Module):
             # named so remat='attn' (save_only_these_names) keeps the
             # attention output resident, skipping its forward recompute
             a = checkpoint_name(a, "attn_out")
-        x = x + a
+        # the residual stream stays batch-sharded / feature-replicated (the
+        # row-parallel out_proj/c_proj all-reduce lands here)
+        x = constrain(x + a, DATA_AXIS, None, None)
         mlp = MLP(self.width, self.mlp_ratio, self.quick_gelu,
                   dtype=self.dtype, quant=self.quant, name="mlp")
-        x = x + mlp(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
-                                 name="ln_2")(x))
+        x = constrain(
+            x + mlp(nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                                 name="ln_2")(x)),
+            DATA_AXIS, None, None,
+        )
         return x
 
 

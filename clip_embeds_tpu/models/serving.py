@@ -38,8 +38,15 @@ def fused_encode_image(
     dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     cls_fast_last: bool = True,
+    output_tokens: bool = False,
 ) -> jax.Array:
-    """encode_image via fused block kernels; returns [B, embed_dim]."""
+    """encode_image via fused block kernels; returns [B, embed_dim].
+
+    With ``output_tokens`` returns (pooled, tokens [B, N, width]) exactly
+    like the composable encode_image(output_tokens=True) — the PACL/SPARC
+    frozen-tower tap (reference pacl.py:97 visual patch tokens). Token
+    output reads every row, so the CLS-only last block is disabled.
+    """
     cfg = model.cfg.vision
     if cfg.tower != "vit":
         raise NotImplementedError("fused serving path covers ViT towers")
@@ -69,7 +76,8 @@ def fused_encode_image(
 
     # pool 'tok' reads only the CLS row of the final block output, so the
     # last block runs in CLS-only form (k/v full, q/out/MLP one row)
-    use_cls_fast = cls_fast_last and cfg.pool_type == "tok"
+    use_cls_fast = cls_fast_last and cfg.pool_type == "tok" \
+        and not output_tokens
     n_fused = cfg.layers - 1 if use_cls_fast else cfg.layers
 
     blocks = p["transformer"]
@@ -95,16 +103,18 @@ def fused_encode_image(
         )
         # for 'tok', ln-then-pool and pool-then-ln agree on the CLS row
         pooled = _ln_affine(pooled, lnp["scale"], lnp["bias"])
+        tokens = None
     else:
         x = x[:, :n_valid]
         if cfg.final_ln_after_pool:
-            pooled = _pool(x, cfg.pool_type)
+            pooled, tokens = _pool_tokens(x, cfg.pool_type)
             pooled = _ln_affine(pooled, lnp["scale"], lnp["bias"])
         else:
             x = _ln_affine(x, lnp["scale"], lnp["bias"])
-            pooled = _pool(x, cfg.pool_type)
+            pooled, tokens = _pool_tokens(x, cfg.pool_type)
     pooled = pooled @ p["proj"].astype(dtype)
-    return l2_normalize(pooled) if normalize else pooled
+    pooled = l2_normalize(pooled) if normalize else pooled
+    return (pooled, tokens) if output_tokens else pooled
 
 
 def _cls_only_last_block(
@@ -191,6 +201,15 @@ def _pool(x, pool_type: str):
     raise NotImplementedError(pool_type)
 
 
+def _pool_tokens(x, pool_type: str):
+    """(pooled, tokens) with the composable VisionTransformer._pool split."""
+    if pool_type == "avg":
+        return x[:, 1:].mean(axis=1), x[:, 1:]
+    if pool_type == "tok":
+        return x[:, 0], x[:, 1:]
+    return x, x
+
+
 # -- W8A8 fused serving path -------------------------------------------------
 
 
@@ -253,10 +272,13 @@ def fused_encode_image_int8(
     dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     cls_fast_last: bool = True,
+    output_tokens: bool = False,
 ) -> jax.Array:
     """encode_image with W8A8 fused block kernels (21.2 ms/layer on v5e vs
     30.6 bf16). Accuracy: validate per checkpoint — calibrated cos > 0.999
-    vs bf16 on the calibration distribution."""
+    vs bf16 on the calibration distribution. ``output_tokens`` returns
+    (pooled, tokens) like the composable path (disables the CLS-only last
+    block)."""
     from ..ops.fused_block import fused_block_int8
 
     cfg = model.cfg.vision
@@ -284,7 +306,8 @@ def fused_encode_image_int8(
 
     # last block in CLS-only form (bf16, from the fp tree — the fp params are
     # on hand either way, and one bf16 row is cheaper than a full int8 block)
-    use_cls_fast = cls_fast_last and cfg.pool_type == "tok"
+    use_cls_fast = cls_fast_last and cfg.pool_type == "tok" \
+        and not output_tokens
     q_blocks = qtower["blocks"][:-1] if use_cls_fast else qtower["blocks"]
 
     for bp in q_blocks:
@@ -306,16 +329,18 @@ def fused_encode_image_int8(
             n_valid, model.cfg.quick_gelu, dtype,
         )
         pooled = _ln_affine(pooled, lnp["scale"], lnp["bias"])
+        tokens = None
     else:
         x = x[:, :n_valid]
         if cfg.final_ln_after_pool:
-            pooled = _pool(x, cfg.pool_type)
+            pooled, tokens = _pool_tokens(x, cfg.pool_type)
             pooled = _ln_affine(pooled, lnp["scale"], lnp["bias"])
         else:
             x = _ln_affine(x, lnp["scale"], lnp["bias"])
-            pooled = _pool(x, cfg.pool_type)
+            pooled, tokens = _pool_tokens(x, cfg.pool_type)
     pooled = pooled @ p["proj"].astype(dtype)
-    return l2_normalize(pooled) if normalize else pooled
+    pooled = l2_normalize(pooled) if normalize else pooled
+    return (pooled, tokens) if output_tokens else pooled
 
 
 def fused_encode_text(

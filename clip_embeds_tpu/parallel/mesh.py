@@ -36,6 +36,32 @@ def create_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def constrain(x: jax.Array, *axes) -> jax.Array:
+    """Mesh-aware ``with_sharding_constraint`` that is a no-op off-mesh.
+
+    ``axes`` is one entry per dim of ``x``: a mesh axis name or None. The
+    constraint is applied only when an ambient mesh (jax.sharding.set_mesh)
+    is in scope AND it carries at least one of the named axes; otherwise
+    ``x`` passes through untouched — single-chip jits keep identical HLO
+    (and their persistent-compile-cache keys). Axis names missing from the
+    ambient mesh degrade to None rather than erroring, so the same model
+    code runs on (data,), (data, model), or FSDP-only meshes.
+
+    This is the fix for the round-2 SPMD "involuntary full rematerialization"
+    warnings: the Megatron PartitionSpecs (sharding_rules.py) constrain only
+    the weights, which leaves the partitioner free to pick pathological
+    layouts for attention intermediates; anchoring the activations here
+    keeps every resharding explicit and cheap.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty:
+        return x
+    spec = tuple(a if (a is None or a in mesh.shape) else None for a in axes)
+    if all(a is None for a in spec):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def batch_spec() -> P:
     """Shard the leading (batch) dim over the data axis, replicate the rest."""
     return P(DATA_AXIS)

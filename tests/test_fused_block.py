@@ -202,3 +202,57 @@ def test_patchify_truncates_nondivisible_like_conv_valid():
     assert out.shape == (1, (62 // 14) * (47 // 14), 14 * 14 * 3)
     ref = np.asarray(patchify(jnp.asarray(img[:, :56, :42]), 14))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_fused_encode_image_output_tokens_parity():
+    """(pooled, tokens) from the fused path == composable
+    encode_image(output_tokens=True) — the PACL/SPARC frozen-tower tap."""
+    model, params = create_model("test-tiny", seed=5)
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    want_pooled, want_tokens = model.apply(
+        {"params": params}, images, normalize=True, output_tokens=True,
+        method="encode_image",
+    )
+    got_pooled, got_tokens = fused_encode_image(
+        model, params, images, dtype=jnp.float32, interpret=True,
+        output_tokens=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_pooled), np.asarray(want_pooled), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_tokens), np.asarray(want_tokens), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_fused_int8_output_tokens_parity_vs_static_quant():
+    """int8 fused tokens == composable QuantDense-static tokens."""
+    from clip_embeds_tpu.models.clip import CLIP
+    from clip_embeds_tpu.models.serving import (
+        fused_encode_image_int8,
+        prepare_int8_tower,
+    )
+
+    model, params = create_model("test-tiny", seed=9)
+    rng = np.random.default_rng(13)
+    images = jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    qtower = prepare_int8_tower(model, params, images)
+    got_pooled, got_tokens = fused_encode_image_int8(
+        model, params, qtower, images, dtype=jnp.float32, interpret=True,
+        output_tokens=True,
+    )
+    # reference: composable path (fp) — int8 drift is bounded, tokens close
+    want_pooled, want_tokens = model.apply(
+        {"params": params}, images, normalize=True, output_tokens=True,
+        method="encode_image",
+    )
+    gp = np.asarray(got_pooled, np.float32).reshape(-1)
+    wp = np.asarray(want_pooled, np.float32).reshape(-1)
+    cos = float(gp @ wp / (np.linalg.norm(gp) * np.linalg.norm(wp)))
+    assert cos > 0.999, cos
+    gt = np.asarray(got_tokens, np.float32).reshape(-1)
+    wt = np.asarray(want_tokens, np.float32).reshape(-1)
+    cos_t = float(gt @ wt / (np.linalg.norm(gt) * np.linalg.norm(wt)))
+    assert cos_t > 0.99, cos_t
