@@ -185,6 +185,17 @@ MODEL_CONFIGS["test-tiny"] = _cfg(
     dict(width=64, heads=2, layers=2, vocab_size=49408),
 )
 
+# Tiny tower whose WIDTHS match the reference PACL/SPARC ViT-L head branch
+# (pacl.py:68-79 hardcodes LayerNorm(1024) + Patch_Projection(1024, 768) +
+# text LayerNorm(768)/Linear(768, 768)), so the reference head classes can
+# be instantiated unmodified around it in the parity-runbook fixtures while
+# depth/patch-count stay test-sized. Not in the reference.
+MODEL_CONFIGS["test-pacl-tiny"] = _cfg(
+    768,
+    dict(image_size=64, patch_size=32, width=1024, layers=1, head_width=64),
+    dict(width=768, heads=12, layers=1, vocab_size=49408),
+)
+
 # Flagship-SHAPED 2-layer config: ViT-L/14-336 tower dimensions (width 1024,
 # head_dim 64, 577 tokens at 336px; text width 768/heads 12) with the depth
 # cut to 2 so the multi-chip dry run can certify the production sharding

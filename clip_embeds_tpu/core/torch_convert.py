@@ -827,3 +827,53 @@ def convert_qwen2_5_vl_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
         {k: v for k, v in sd.items() if not k.startswith("visual.")}
     )
     return {"visual": visual, "language_model": text}
+
+
+def convert_pacl_head_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """PACL/SPARC projection-head weights -> flax PACLHead/SPARCHead params.
+
+    The reference heads are nn.Sequential stacks (pacl.py:58-79 and the
+    identical sparc ones, :388-409): ``visual_projection.0`` LayerNorm ->
+    ``.1`` Dropout -> ``.2`` Patch_Projection (``linear_projection.0`` plus
+    ``non_linear_projection.{0,2}``); ``text_projection.{0,1,2}`` =
+    LayerNorm -> Dropout -> Linear. Patch_Projection also aliases
+    ``text_projection`` to the same Sequential (pacl.py:39), so its
+    duplicated keys are ignored here. Accepts 'module.'-prefixed
+    (DataParallel) checkpoints like eval_pacl.py:381-388.
+    """
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    return {
+        "visual_projection": {
+            "ln": _layernorm(sd, "visual_projection.0"),
+            "proj": {
+                "linear": _linear(sd, "visual_projection.2.linear_projection.0"),
+                "mlp_in": _linear(sd, "visual_projection.2.non_linear_projection.0"),
+                "mlp_out": _linear(sd, "visual_projection.2.non_linear_projection.2"),
+            },
+        },
+        "text_projection": {
+            "ln": _layernorm(sd, "text_projection.0"),
+            "proj": _linear(sd, "text_projection.2"),
+        },
+    }
+
+
+def split_pacl_checkpoint(sd: Mapping[str, Any]):
+    """One reference PACL/SPARC checkpoint -> (clip torch sub-state-dict,
+    flax head params).
+
+    The reference trains with nn.DataParallel and saves the WHOLE module
+    (frozen tower + heads) with 'module.' prefixes (train_pacl.py:133;
+    loaded back in eval_pacl.py:372-391). The tower sub-dict keeps torch
+    key layout ('clip_model.' stripped) so it feeds create_model(...,
+    pretrained=...) like any open_clip checkpoint; the heads convert to
+    flax for PACLHead/SPARCHead.
+    """
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    clip_sd = {k[len("clip_model."):]: v for k, v in sd.items()
+               if k.startswith("clip_model.")}
+    head_sd = {k: v for k, v in sd.items()
+               if k.startswith(("visual_projection.", "text_projection."))}
+    return clip_sd, convert_pacl_head_state_dict(head_sd)

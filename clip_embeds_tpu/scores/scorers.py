@@ -267,8 +267,10 @@ class SPARCScorer:
         self.image_size = clip_model.cfg.vision.image_size
         self.preprocess_variant = preprocess_variant
         self.tokenizer = get_tokenizer(clip_model.cfg.text.context_length)
-        num_patches = clip_model.cfg.vision.num_patches
-        self.sigma = sigma if sigma is not None else 1.0 / num_patches
+        # the reference sparc constructor defaults sigma to 1/625 regardless
+        # of the tower's actual patch count (pacl.py:381; eval_sparc.py:368
+        # never overrides it) — match that for eval parity
+        self.sigma = sigma if sigma is not None else 1.0 / 625
 
         @jax.jit
         def _score(clip_params, head_params, images, texts):
@@ -283,10 +285,14 @@ class SPARCScorer:
             v, t = head_model.apply(
                 {"params": head_params}, patches, text_tokens
             )
-            global_txt = l2_normalize(t.mean(axis=1))
+            # sparc.forward normalizes token/grouped embeddings PER TOKEN
+            # before scoring means them (pacl.py:476-478 -> scoring 443-451):
+            # normalize(mean(normalize(t))), not normalize(mean(t)). The raw
+            # v feeds both the grouping similarity and the global image mean.
+            global_txt = l2_normalize(l2_normalize(t).mean(axis=1))
             if self.local:
                 grouped = sparc_group_patches(v, t, self.sigma)
-                img = l2_normalize(grouped.mean(axis=1))
+                img = l2_normalize(l2_normalize(grouped).mean(axis=1))
             else:
                 img = l2_normalize(v.mean(axis=1))
             return img @ global_txt.T

@@ -48,6 +48,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+sys.path.insert(0, "/root/repo")
+from clip_embeds_tpu.core.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 NEG_INF = -1e30
 B, D, H = 256, 1024, 16
 HD = D // H

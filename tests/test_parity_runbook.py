@@ -108,3 +108,75 @@ def test_results_file_parser(tmp_path):
     assert parsed["Individual accuracy"] == 54.13
     assert parsed["Pair accuracy"] == 9.22
     assert parsed["Pair"] == 12.5 and parsed["Individual"] == 40.0
+
+
+@pytest.fixture()
+def whatsup_fixture_64(tmp_path):
+    """What'sUp-A fixture with square 64px images (the PACL squash-resize
+    becomes an identity on both drivers, removing resample-kernel noise)."""
+    root = tmp_path / "whatsup64"
+    img_dir = root / "controlled_images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    dataset = []
+    for p in range(3):
+        o1, o2 = f"cup{p}", f"desk{p}"
+        for key in ["left", "right", "on", "under"]:
+            name = f"{o1}_{key}_of_the_{o2}.jpeg"
+            arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(img_dir / name)
+            prep = {"left": "left of", "right": "right of",
+                    "on": "on", "under": "under"}[key]
+            opp = {"left": "right of", "right": "left of",
+                   "on": "under", "under": "on"}[key]
+            others = {"left of", "right of", "on", "under"} - {prep, opp}
+            dataset.append({
+                "image_path": f"data/controlled_images/{name}",
+                "caption_options": [f"A {o1} {prep} a {o2}",
+                                    f"A {o1} {opp} a {o2}"]
+                + [f"A {o1} {o} a {o2}" for o in sorted(others)],
+            })
+    with open(root / "controlled_images_dataset.json", "w") as f:
+        json.dump(dataset, f)
+    return root
+
+
+def _tiny_pacl_checkpoint(tmp_path, driver: str, seed: int = 0):
+    """Random reference PACL/SPARC model (the ACTUAL reference classes from
+    model/pacl.py, instantiated around the test-pacl-tiny tower) saved in the
+    DataParallel 'module.'-prefixed format of train_pacl.py:133."""
+    torch = pytest.importorskip("torch")
+
+    from clip_embeds_tpu.cli.parity import _load_ref_pacl_ns
+
+    ns = _load_ref_pacl_ns("test-pacl-tiny")
+    torch.manual_seed(seed)
+    cls = ns["open_clip_pacl"] if driver == "pacl" else ns["sparc"]
+    model = cls(base_model="ViT-L-14-336")
+    sd = {"module." + k: v for k, v in model.state_dict().items()}
+    path = tmp_path / f"{driver}_tiny.pth"
+    torch.save(sd, str(path))
+    return str(path)
+
+
+@pytest.mark.parametrize("driver,local", [
+    ("pacl", False), ("sparc", False), ("sparc", True),
+])
+def test_parity_runbook_pacl_sparc(whatsup_fixture_64, tmp_path, driver,
+                                   local):
+    from clip_embeds_tpu.cli.parity import main
+
+    ckpt = _tiny_pacl_checkpoint(tmp_path, driver)
+    argv = [
+        "--driver", driver, "--model", "test-pacl-tiny",
+        "--checkpoint", ckpt, "--dataset", "a",
+        "--root-dir", str(whatsup_fixture_64),
+        "--precision", "fp32", "--tol", "1e-4",
+    ]
+    if local:
+        argv.append("--local")
+    report = main(argv)
+    assert report["metrics"], "no shared metrics parsed"
+    names = {r["metric"] for r in report["metrics"]}
+    assert "Individual accuracy" in names
+    assert report["parity"] is True, report
