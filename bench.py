@@ -161,7 +161,153 @@ def main() -> None:
     if int8_ips is not None:
         record["int8_img_per_s"] = round(int8_ips, 2)
         record["int8_cos_vs_bf16"] = round(int8_cos, 5)
+
+    # full serving surface in one artifact (round-3): the ViT-L text tower
+    # and the SigLIP so400m image tower ride along as extras
+    if use_fused:
+        try:
+            record.update(_bench_text_tower(
+                jax, jnp, np, model, params, batch))
+        except Exception as e:  # keep the headline robust
+            record["text_tower_error"] = f"{type(e).__name__}: {e}"
+        try:
+            record.update(_bench_siglip_so400m(jax, jnp, np))
+        except Exception as e:
+            record["siglip_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(record))
+
+
+def _bench_text_tower(jax, jnp, np, model, params, img_batch):
+    """ViT-L/14-336 text tower texts/s/chip: fused bf16 + W8A8 (gated on
+    cosine vs bf16 like the image headline). PERF.md round 2: 11.2k bf16 /
+    13.3k int8 texts/s."""
+    from clip_embeds_tpu.models.serving import (
+        fused_encode_text,
+        fused_encode_text_int8,
+        prepare_int8_text_tower,
+    )
+
+    batch = 2048 if img_batch >= 256 else 8
+    ctx = model.cfg.text.context_length
+    rng = np.random.default_rng(1)
+    ids = np.concatenate([
+        np.full((batch, 1), 49406),
+        rng.integers(1000, 40000, (batch, ctx - 2)),
+        np.full((batch, 1), 49407),
+    ], axis=1).astype(np.int32)
+    ids = jax.device_put(jnp.asarray(ids))
+
+    # int32 salt chain (exp_texttower.py): shift the interior token ids per
+    # iteration so XLA cannot hoist the loop body
+    def make_txt_loop(encode):
+        @jax.jit
+        def loop(p, ids_, iters):
+            def body(_, salt):
+                shifted = jnp.where(
+                    (ids_ > 999) & (ids_ < 40000), ids_ + salt % 997, ids_)
+                out = encode(p, shifted)
+                return salt + 1 + (out[0, 0] * 1e-6).astype(jnp.int32)
+            return jax.lax.fori_loop(0, iters, body,
+                                     jnp.asarray(0, jnp.int32))
+        return loop
+
+    def time_txt(loop, p, iters):
+        import time as _t
+
+        int(loop(p, ids, 1))
+        int(loop(p, ids, iters))
+        t0 = _t.perf_counter(); int(loop(p, ids, 1))
+        ts = _t.perf_counter() - t0
+        t0 = _t.perf_counter(); int(loop(p, ids, iters))
+        tl = _t.perf_counter() - t0
+        return batch * iters / (max(tl - ts, 1e-9) / (iters - 1) * iters)
+
+    def embed_txt(p, ids_):
+        return fused_encode_text(model, p, ids_, normalize=True)
+
+    bf16_tps = time_txt(make_txt_loop(embed_txt), params, 20)
+    bf16_out = np.asarray(
+        jax.jit(embed_txt)(params, ids), np.float32)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        qtower = prepare_int8_text_tower(
+            model, jax.device_get(params),
+            jnp.asarray(np.asarray(ids)[:64]))
+    bundle = jax.device_put(
+        {"fp": jax.device_get(params), "q": jax.device_get(qtower)})
+
+    def embed_txt_q(p, ids_):
+        return fused_encode_text_int8(model, p["fp"], p["q"], ids_,
+                                      normalize=True)
+
+    int8_tps = time_txt(make_txt_loop(embed_txt_q), bundle, 20)
+    q_out = np.asarray(
+        jax.jit(embed_txt_q)(bundle, ids), np.float32)
+    cos = float((bf16_out * q_out).sum(-1).mean())
+    out = {
+        "text_bf16_texts_per_s": round(bf16_tps, 1),
+        "text_int8_texts_per_s": round(int8_tps, 1),
+        "text_int8_cos_vs_bf16": round(cos, 5),
+    }
+    return out
+
+
+def _bench_siglip_so400m(jax, jnp, np):
+    """SigLIP so400m-patch14-384 image tower, fused bf16 (PERF.md: 244.7
+    img/s vs 144.1 composable)."""
+    import time as _t
+
+    from clip_embeds_tpu.models.serving import (
+        fused_encode_image_siglip,
+        siglip_fused_available,
+    )
+    from clip_embeds_tpu.models.siglip import (
+        Siglip,
+        SiglipConfig,
+        SiglipTextConfig,
+        SiglipVisionConfig,
+    )
+
+    cfg = SiglipConfig(
+        vision=SiglipVisionConfig(image_size=384, patch_size=14, width=1152,
+                                  layers=27, heads=16,
+                                  intermediate_size=4304),
+        text=SiglipTextConfig(),
+    )
+    if not siglip_fused_available(cfg.vision):
+        return {}
+    model = Siglip(cfg, dtype=jnp.bfloat16)
+    init_model = Siglip(cfg, dtype=jnp.float32, attn_impl="reference")
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = jax.device_get(init_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 384, 384, 3), jnp.float32),
+            jnp.zeros((1, 64), jnp.int32))["params"])
+    params = jax.device_put(jax.tree.map(jnp.asarray, params))
+    batch = 128
+    raw = jax.device_put(jnp.asarray(np.random.default_rng(2).integers(
+        0, 255, (batch, 384, 384, 3), dtype=np.uint8)))
+
+    def embed(p, raw_u8, salt):
+        img = raw_u8.astype(jnp.bfloat16) / 127.5 - 1.0  # inception stats
+        img = img + salt.astype(jnp.bfloat16)
+        return fused_encode_image_siglip(model, p, img, normalize=True)
+
+    @jax.jit
+    def loop(p, raw_, iters):
+        def body(_, salt):
+            out = embed(p, raw_, salt)
+            return out[0, 0].astype(jnp.float32) * 1e-6
+        return jax.lax.fori_loop(0, iters, body, jnp.asarray(1e-6))
+
+    float(loop(params, raw, 1))
+    float(loop(params, raw, 10))
+    t0 = _t.perf_counter(); float(loop(params, raw, 1))
+    ts = _t.perf_counter() - t0
+    t0 = _t.perf_counter(); float(loop(params, raw, 10))
+    tl = _t.perf_counter() - t0
+    ips = batch * 10 / (max(tl - ts, 1e-9) / 9 * 10)
+    return {"siglip_so400m_bf16_img_per_s": round(ips, 1)}
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ def create_model(
     seed: int = 0,
     force_quick_gelu: bool = False,
     force_patch_dropout: Optional[float] = None,
+    block_impl: str = "composable",
 ) -> Tuple[CLIP, Dict[str, Any]]:
     """Build a CLIP model and its params.
 
@@ -76,7 +77,8 @@ def create_model(
                 cfg.vision, patch_dropout=force_patch_dropout
             ),
         )
-    model = CLIP(cfg, dtype=dtype, attn_impl=attn_impl, remat=remat)
+    model = CLIP(cfg, dtype=dtype, attn_impl=attn_impl, remat=remat,
+                 block_impl=block_impl)
 
     params = None
     path = None

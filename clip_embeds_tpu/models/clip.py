@@ -35,6 +35,7 @@ class CLIP(nn.Module):
     remat: bool = False
     quant: bool = False  # int8 serving path (models/quant.py)
     scan_layers: bool = False  # lax.scan over blocks (small HLO, fast compile)
+    block_impl: str = "composable"  # 'fused-train': kernel fwd + custom VJP
 
     def setup(self):
         if self.cfg.vision.tower == "resnet":
@@ -161,11 +162,13 @@ class CLIP(nn.Module):
                 self.cfg.vision, self.cfg.embed_dim, self.cfg.quick_gelu,
                 dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
                 quant=self.quant, scan_layers=self.scan_layers,
+                block_impl=self.block_impl,
             )
         self.text = TextTransformer(
             self.cfg.text, self.cfg.embed_dim, self.cfg.quick_gelu,
             dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
             quant=self.quant, scan_layers=self.scan_layers,
+            block_impl=self.block_impl,
         )
         self.logit_scale = self.param(
             "logit_scale",

@@ -138,6 +138,103 @@ class ResidualAttentionBlock(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Declares a Dense-shaped (kernel, bias) pair without applying it —
+    param tree identical to nn.Dense so checkpoints are interchangeable."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "kernel": self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (self.din, self.dout)),
+            "bias": self.param("bias", nn.initializers.zeros, (self.dout,)),
+        }
+
+
+class _LNParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "scale": self.param("scale", nn.initializers.ones, (self.dim,)),
+            "bias": self.param("bias", nn.initializers.zeros, (self.dim,)),
+        }
+
+
+class _AttnParams(nn.Module):
+    width: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "in_proj": _DenseParams(self.width, 3 * self.width,
+                                    name="in_proj")(),
+            "out_proj": _DenseParams(self.width, self.width,
+                                     name="out_proj")(),
+        }
+
+
+class _MLPParams(nn.Module):
+    width: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "c_fc": _DenseParams(self.width, self.hidden, name="c_fc")(),
+            "c_proj": _DenseParams(self.hidden, self.width, name="c_proj")(),
+        }
+
+
+class FusedTrainBlock(nn.Module):
+    """ResidualAttentionBlock drop-in whose forward is the fused whole-block
+    Pallas kernel and whose backward is the composable math via a custom VJP
+    (ops/fused_block_ad.py). Same param tree as the composable block, so
+    converted checkpoints and TrainState trees are interchangeable.
+
+    Memory profile == full per-block remat (residuals are (x, params));
+    the fused forward is ~2x the composable forward at ViT-L shapes, which
+    is pure savings on the forward pass of every train step.
+    """
+
+    width: int
+    heads: int
+    mlp_ratio: float = 4.0
+    quick_gelu: bool = False
+    dtype: Dtype = jnp.float32
+    ln_eps: float = 1e-5
+    act: Optional[str] = None        # override: 'quick' | 'erf' | 'tanh'
+    interpret: bool = False          # pallas interpret mode (tests/CPU)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        causal: bool = False,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        assert mask is None, "FusedTrainBlock: key-padding masks unsupported"
+        from ..ops.fused_block_ad import make_fused_block_ad
+
+        p = {
+            "ln_1": _LNParams(self.width, name="ln_1")(),
+            "attn": _AttnParams(self.width, name="attn")(),
+            "ln_2": _LNParams(self.width, name="ln_2")(),
+            "mlp": _MLPParams(self.width, int(self.width * self.mlp_ratio),
+                              name="mlp")(),
+        }
+        act = self.act or ("quick" if self.quick_gelu else "erf")
+        fn = make_fused_block_ad(
+            self.heads, act, self.ln_eps, causal, self.interpret,
+        )
+        return fn(x.astype(self.dtype), p)
+
+
 class Transformer(nn.Module):
     """Stack of residual blocks with optional rematerialization.
 
@@ -156,6 +253,9 @@ class Transformer(nn.Module):
     remat: bool = False
     quant: bool = False
     ln_eps: float = 1e-5
+    # 'composable' (flax blocks) | 'fused-train' (fused kernel forward +
+    # custom-VJP composable backward; subsumes remat — see FusedTrainBlock)
+    block_impl: str = "composable"
 
     @nn.compact
     def __call__(
@@ -165,6 +265,15 @@ class Transformer(nn.Module):
         mask: Optional[jax.Array] = None,
         num_blocks: Optional[int] = None,
     ) -> jax.Array:
+        if self.block_impl == "fused-train":
+            n = self.layers if num_blocks is None else num_blocks
+            for i in range(n):
+                x = FusedTrainBlock(
+                    self.width, self.heads, self.mlp_ratio, self.quick_gelu,
+                    dtype=self.dtype, ln_eps=self.ln_eps,
+                    name=f"resblocks_{i}",
+                )(x, causal, mask)
+            return x
         block_cls = ResidualAttentionBlock
         if self.remat:
             # static_argnums counts the bound module as index 0: (self, x,

@@ -51,6 +51,7 @@ class TextTransformer(nn.Module):
     remat: bool = False
     quant: bool = False
     scan_layers: bool = False
+    block_impl: str = "composable"
 
     @nn.compact
     def __call__(self, text_ids: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -81,7 +82,8 @@ class TextTransformer(nn.Module):
             transformer = Transformer(
                 cfg.width, cfg.layers, cfg.heads, cfg.mlp_ratio,
                 self.quick_gelu, dtype=self.dtype, attn_impl=self.attn_impl,
-                remat=self.remat, quant=self.quant, name="transformer",
+                remat=self.remat, quant=self.quant,
+                block_impl=self.block_impl, name="transformer",
             )
         x = transformer(x, causal=not cfg.no_causal_mask)
 

@@ -65,6 +65,7 @@ class VisionTransformer(nn.Module):
     remat: bool = False
     quant: bool = False
     scan_layers: bool = False
+    block_impl: str = "composable"
 
     @nn.compact
     def __call__(
@@ -137,7 +138,8 @@ class VisionTransformer(nn.Module):
             transformer = Transformer(
                 cfg.width, cfg.layers, cfg.heads, cfg.mlp_ratio,
                 self.quick_gelu, dtype=self.dtype, attn_impl=self.attn_impl,
-                remat=self.remat, quant=self.quant, name="transformer",
+                remat=self.remat, quant=self.quant,
+                block_impl=self.block_impl, name="transformer",
             )
         if hidden_layer is not None:
             # hidden_states[k] is the input of block k; index -2 therefore

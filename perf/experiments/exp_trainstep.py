@@ -49,7 +49,14 @@ def bench_variant(name: str):
         remat = "attn"
     # explicit 'bs32' suffix only ('32' alone would match 'fp32mu')
     batch_size = BATCH_SMALL if name.endswith("bs32") else BATCH
-    model = CLIP(base.cfg, dtype=jnp.bfloat16, remat=remat)
+    block_impl = "composable"
+    if "fusedtrain" in name:
+        # round-3: fused Pallas forward + custom-VJP composable backward
+        # (ops/fused_block_ad.py) — remat is subsumed by the custom VJP
+        block_impl = "fused-train"
+        remat = False
+    model = CLIP(base.cfg, dtype=jnp.bfloat16, remat=remat,
+                 block_impl=block_impl)
     if name == "sgd":
         tx = optax.sgd(1e-4)
     elif name == "fwdbwd":
