@@ -87,7 +87,8 @@ def _kernel(
     x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
     w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     g1_ref, lb1_ref, g2_ref, lb2_ref, a_ref, brow_ref, vs_ref, o_ref,
-    *, rows, lsum, fold, pbf16, noclamp, int8pv,
+    *, rows, lsum, fold, pbf16, noclamp, int8pv, sbf16=False,
+    projonly=False, noexp=False, int8qk=False,
 ):
     for r in range(rows):
         x = x_ref[r]
@@ -107,18 +108,62 @@ def _kernel(
         brow = brow_ref[0:1, 0, :]
 
         # --- attention -------------------------------------------------------
+        if projonly:
+            # decomposition probe: skip the attention math entirely; the
+            # q third of qkv stands in for att so the out-projection still
+            # consumes a live [n, d] operand (Mosaic cannot DCE the rest of
+            # the chain). base - projonly == attention phase cost.
+            att = qkv[:, :d]
+            aq = _q(att.astype(jnp.float32) / a[1])
+            x = x + (_idot(aq, wo_ref).astype(jnp.float32)
+                     * (a[1] * so_ref[0]) + bo_ref[0]).astype(x.dtype)
+            h = _ln(x, g2_ref[0], lb2_ref[0])
+            xq = _q(h / a[2])
+            acc1 = _idot(xq, w1_ref).astype(jnp.float32)
+            m1 = acc1 * (a[2] * s1_ref[0]) + b1_ref[0]
+            t2 = m1 * jax.nn.sigmoid(1.702 * m1)
+            mq = _q(t2 / a[3])
+            x = x + (_idot(mq, w2_ref).astype(jnp.float32)
+                     * (a[3] * s2_ref[0]) + b2_ref[0]).astype(x.dtype)
+            o_ref[r] = x
+            continue
         outs = []
         for g in range(H):
             q = qkv[:, g * HD:(g + 1) * HD]
             k = kv[:, g * HD:(g + 1) * HD]
             v = kv[:, d + g * HD:d + (g + 1) * HD]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * SCALE
-            t = (s + brow) if noclamp else jnp.minimum(s + brow, CLAMP)
-            p = jnp.exp(t)
-            if pbf16:
+            if int8qk:
+                # int8 logits matmul: dynamic per-head scales are cheap
+                # here (maxabs over [n,64], tiny vs the [n,n_kv] passes);
+                # a shipped kernel would calibrate them statically.
+                q32 = q.astype(jnp.float32)
+                k32 = k.astype(jnp.float32)
+                qs = jnp.max(jnp.abs(q32)) * (1.0 / 127.0) + 1e-12
+                ks = jnp.max(jnp.abs(k32)) * (1.0 / 127.0) + 1e-12
+                qq = _q(q32 / qs)
+                kq = _q(k32 / ks)
+                s = jax.lax.dot_general(
+                    qq, kq, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * (qs * ks * SCALE)
+                t = jnp.minimum(s + brow, CLAMP)
+                p = jnp.exp(t)
+            elif sbf16:
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.bfloat16,
+                ) * jnp.bfloat16(SCALE)
+                t = jnp.minimum(s + brow.astype(jnp.bfloat16),
+                                jnp.bfloat16(CLAMP))
+                p = jnp.exp(t)
+            else:
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * SCALE
+                t = (s + brow) if noclamp else jnp.minimum(s + brow, CLAMP)
+                p = t if noexp else jnp.exp(t)
+            if pbf16 and p.dtype != jnp.bfloat16:
                 p = p.astype(jnp.bfloat16)
             if int8pv:
                 # static per-head p scale: p in [0, e^C]; vs_ref carries
@@ -306,6 +351,21 @@ FLAG_SETS = {
                   int8pv=False),
     "int8pv": dict(lsum=False, fold=True, pbf16=True, noclamp=False,
                    int8pv=True),
+    "sbf16": dict(lsum=False, fold=False, pbf16=True, noclamp=False,
+                  int8pv=False, sbf16=True),
+    "sbf16_lsum": dict(lsum=True, fold=False, pbf16=True, noclamp=False,
+                       int8pv=False, sbf16=True),
+    # decomposition probes for the speed-of-light account (not shippable)
+    "projonly": dict(lsum=False, fold=False, pbf16=False, noclamp=False,
+                     int8pv=False, projonly=True),
+    "noexp": dict(lsum=False, fold=False, pbf16=False, noclamp=False,
+                  int8pv=False, noexp=True),
+    # int8 QK logits matmul (dynamic per-head scales), alone and with
+    # the int8 PV matmul = fully-int8 attention
+    "int8qk": dict(lsum=False, fold=True, pbf16=True, noclamp=False,
+                   int8pv=False, int8qk=True),
+    "int8attn": dict(lsum=False, fold=True, pbf16=True, noclamp=False,
+                     int8pv=True, int8qk=True),
 }
 
 _ref_out = {}
