@@ -309,7 +309,9 @@ def bench(name, rows=4):
 if __name__ == "__main__":
     variants = sys.argv[1:] or ["base", "bqkv", "bproj", "bmlp", "exp2"]
     for v in variants:
+        # "name:R" runs the variant at R sequences per program (default 4)
+        name, _, r = v.partition(":")
         try:
-            bench(v)
+            bench(name, rows=int(r) if r else 4)
         except Exception as e:
             print(f"{v:8s}: FAILED {type(e).__name__}: {e}", flush=True)
