@@ -20,19 +20,26 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
 
 
-def enable_persistent_cache(cache_dir: str | None = None) -> bool:
+def enable_persistent_cache(cache_dir: str | None = None,
+                            allow_cpu: bool = False) -> bool:
     """Point jax at an on-disk compilation cache; True if enabled.
 
-    TPU-only: local CPU compiles are fast anyway, and reloading CPU AOT
-    executables across differing host-feature flags risks SIGILL (observed
-    as a loud cpu_aot_loader warning)."""
+    TPU-only by default: local CPU compiles are usually fast, and reloading
+    CPU AOT executables across differing host-feature flags risks SIGILL
+    (observed as a loud cpu_aot_loader warning). ``allow_cpu=True`` opts a
+    CPU-backend process into a SEPARATE cache dir (.jax_cache_cpu) — safe
+    when every run happens on the same host, and necessary for the
+    multi-chip dryrun, whose flagship-shape SPMD compile is minutes-slow on
+    the virtual 8-device CPU mesh (__graft_entry__.py)."""
     import jax
 
     cache_dir = (cache_dir or os.environ.get("CLIP_EMBEDS_JAX_CACHE")
                  or _DEFAULT_DIR)
     try:
         if jax.default_backend() != "tpu":
-            return False
+            if not allow_cpu:
+                return False
+            cache_dir = cache_dir + "_cpu"
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

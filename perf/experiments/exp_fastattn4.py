@@ -193,7 +193,12 @@ def fused_block_v(x, p, rows, **flags):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            # batched variants hold a [rows*592, 3d] int32 acc + fp32 qkv —
+            # 117 MB at rows=4 (measured OOM at the shipped 110 MB limit);
+            # 120 MB still leaves headroom under the 128 MB v5e VMEM
+            vmem_limit_bytes=(120 if (flags.get("bqkv") or flags.get("bproj")
+                                      or flags.get("bmlp")) else 110)
+            * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * (12 * d * d + 2 * N_KV * d),
