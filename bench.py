@@ -23,10 +23,21 @@ reachable on this chip. Both paths' numbers ride in the JSON line.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 A100_BASELINE_IMG_PER_S = 1000.0
 INT8_MIN_COS = 0.99
+
+_T0 = time.perf_counter()
+
+
+def _progress(msg: str) -> None:
+    """Timestamped progress marker on stderr (stdout carries only the JSON
+    line). First-ever run pays multi-minute cold XLA compiles per path over
+    the axon tunnel; these markers show where a long run is spending time."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def main() -> None:
@@ -102,7 +113,9 @@ def main() -> None:
         return batch * iters / elapsed
 
     iters = 20 if on_tpu else 2
+    _progress("bf16 image path: compile + time")
     bf16_ips = time_path(make_loop(embed_bf16), params, iters)
+    _progress(f"bf16 image path done: {bf16_ips:.1f} img/s")
     zero_salt = jnp.asarray(0.0)
     bf16_out = np.asarray(embed_bf16(params, raw, zero_salt), np.float32)
 
@@ -118,14 +131,18 @@ def main() -> None:
         # observation model compiles pathologically slowly over the tunnel);
         # 16 images suffice for the abs-max statistics and keep the CPU
         # forward of the ViT-L observation model cheap
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            calib = np.asarray(jax_preprocess(
-                jnp.asarray(np.asarray(raw)[:16]), size, "clip",
-                jnp.float32))
-            qtower = prepare_int8_tower(
-                model, jax.device_get(params), jnp.asarray(calib)
-            )
+        _progress("int8 image path: CPU calibration")
+
+        def _calib_image():
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                calib = np.asarray(jax_preprocess(
+                    jnp.asarray(np.asarray(raw)[:16]), size, "clip",
+                    jnp.float32))
+                return prepare_int8_tower(
+                    model, jax.device_get(params), jnp.asarray(calib))
+
+        qtower = _disk_cached_tree("int8_image_vitl14_336", _calib_image)
         bundle = jax.device_put(
             {"fp": jax.device_get(params), "q": jax.device_get(qtower)}
         )
@@ -137,8 +154,10 @@ def main() -> None:
                 model, p["fp"], p["q"], images, normalize=True
             )
 
+        _progress("int8 image path: compile + time")
         loop_q = make_loop(embed_int8)
         int8_ips = time_path(loop_q, bundle, iters)
+        _progress(f"int8 image path done: {int8_ips:.1f} img/s")
         q_out = np.asarray(
             jax.jit(embed_int8)(bundle, raw, zero_salt), np.float32
         )
@@ -158,6 +177,15 @@ def main() -> None:
         "headline_path": path,
         "bf16_img_per_s": round(bf16_ips, 2),
     }
+    if on_tpu:
+        # Chip speed-of-light for this model/path (PERF.md "Round 3: serving
+        # speed-of-light"): int8 projections at 100% of the v5e 394 TOPS peak
+        # + bf16 attention at 100% of 197 TFLOPs, zero overhead, CLS-only
+        # last block. The 2x-A100 divisor (1000) sits ABOVE this number —
+        # pct_of_chip_peak_sol is the honest utilization metric.
+        sol = _chip_peak_sol_img_per_s(model.cfg.vision)
+        record["sol_img_per_s_chip_peak"] = round(sol, 1)
+        record["pct_of_chip_peak_sol"] = round(headline / sol, 3)
     if int8_ips is not None:
         record["int8_img_per_s"] = round(int8_ips, 2)
         record["int8_cos_vs_bf16"] = round(int8_cos, 5)
@@ -166,15 +194,75 @@ def main() -> None:
     # and the SigLIP so400m image tower ride along as extras
     if use_fused:
         try:
+            _progress("text tower paths")
             record.update(_bench_text_tower(
                 jax, jnp, np, model, params, batch))
         except Exception as e:  # keep the headline robust
             record["text_tower_error"] = f"{type(e).__name__}: {e}"
         try:
+            _progress("siglip so400m path")
             record.update(_bench_siglip_so400m(jax, jnp, np))
         except Exception as e:
             record["siglip_error"] = f"{type(e).__name__}: {e}"
+    _progress("done")
     print(json.dumps(record))
+
+
+def _disk_cached_tree(key: str, build):
+    """Disk-cache a deterministic pytree of numpy arrays (int8 calibration).
+
+    The W8A8 calibration forward runs the fp32 observation tower on host CPU
+    — measured ~4.7 min per bench invocation for the ViT-L image tower, every
+    run, because XLA's compile cache can't help host-side numerics. The
+    calibration is deterministic (fixed rng seeds, fixed init), so it is
+    cached like a compile artifact under .bench_cache/. Delete the directory
+    to force recalibration (e.g. after quantizer changes — the key embeds
+    the clip_embeds_tpu quant-schema version)."""
+    import os
+    import pickle
+
+    from clip_embeds_tpu.models import serving as _s
+
+    schema = getattr(_s, "QUANT_SCHEMA_VERSION", 1)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    path = os.path.join(cache_dir, f"{key}_v{schema}.pkl")
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except Exception:
+        pass
+    import jax
+
+    tree = jax.tree.map(lambda a: jax.device_get(a), build())
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(tree, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    return tree
+
+
+def _chip_peak_sol_img_per_s(vcfg) -> float:
+    """Tower-only img/s if every matmul ran at 100% of v5e peak.
+
+    Projections (qkv + out-proj + MLP = width²·(4 + 2·mlp_ratio) MACs/token)
+    at the int8 MXU peak, attention (2·n²·width MACs) at the bf16 peak (int8
+    attention measured slower and below the accuracy gate — PERF.md round 3),
+    23 full layers + the CLS-only last block (its q/proj/MLP rows collapse
+    to 1; only k/v over the sequence remain ≈ 2/(4+2·mlp_ratio) of a layer's
+    projection MACs). Softmax/quantize/IO assumed free: an upper bound.
+    """
+    int8_peak, bf16_peak = 394e12, 197e12
+    n = (vcfg.image_size // vcfg.patch_size) ** 2 + 1
+    proj = n * vcfg.width ** 2 * (4 + 2 * vcfg.mlp_ratio)
+    attn = 2 * n * n * vcfg.width
+    t_full = 2 * proj / int8_peak + 2 * attn / bf16_peak
+    t_last = 2 * proj * (2 / (4 + 2 * vcfg.mlp_ratio)) / int8_peak
+    return 1.0 / ((vcfg.layers - 1) * t_full + t_last)
 
 
 def _bench_text_tower(jax, jnp, np, model, params, img_batch):
@@ -229,11 +317,14 @@ def _bench_text_tower(jax, jnp, np, model, params, img_batch):
     bf16_out = np.asarray(
         jax.jit(embed_txt)(params, ids), np.float32)
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        qtower = prepare_int8_text_tower(
-            model, jax.device_get(params),
-            jnp.asarray(np.asarray(ids)[:64]))
+    def _calib_text():
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            return prepare_int8_text_tower(
+                model, jax.device_get(params),
+                jnp.asarray(np.asarray(ids)[:64]))
+
+    qtower = _disk_cached_tree("int8_text_vitl14_336", _calib_text)
     bundle = jax.device_put(
         {"fp": jax.device_get(params), "q": jax.device_get(qtower)})
 

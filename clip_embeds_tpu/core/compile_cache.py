@@ -42,7 +42,13 @@ def enable_persistent_cache(cache_dir: str | None = None,
             cache_dir = cache_dir + "_cpu"
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # min_compile_time must be 0: on the axon remote-TPU platform the
+        # client-side compile timer sees ~0.4 s while the real (remote)
+        # Mosaic/XLA compile takes minutes, so any positive threshold makes
+        # jax silently SKIP writing the entry and every process recompiles
+        # from scratch (measured: a toy pallas_call jit = 139 s wall, 0.40 s
+        # "compile time", entry not written).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         return True
     except Exception as exc:  # pragma: no cover - best effort
         logging.warning("persistent compile cache unavailable: %s", exc)
