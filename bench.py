@@ -345,12 +345,14 @@ def _bench_text_tower(jax, jnp, np, model, params, img_batch):
 
 
 def _bench_siglip_so400m(jax, jnp, np):
-    """SigLIP so400m-patch14-384 image tower, fused bf16 (PERF.md: 244.7
-    img/s vs 144.1 composable)."""
+    """SigLIP so400m-patch14-384 image tower: fused bf16 + W8A8 int8 (gated
+    on cosine vs bf16 like the ViT-L image headline)."""
     import time as _t
 
     from clip_embeds_tpu.models.serving import (
         fused_encode_image_siglip,
+        fused_encode_image_siglip_int8,
+        prepare_int8_siglip_tower,
         siglip_fused_available,
     )
     from clip_embeds_tpu.models.siglip import (
@@ -379,26 +381,60 @@ def _bench_siglip_so400m(jax, jnp, np):
     raw = jax.device_put(jnp.asarray(np.random.default_rng(2).integers(
         0, 255, (batch, 384, 384, 3), dtype=np.uint8)))
 
-    def embed(p, raw_u8, salt):
+    def prep(raw_u8, salt):
         img = raw_u8.astype(jnp.bfloat16) / 127.5 - 1.0  # inception stats
-        img = img + salt.astype(jnp.bfloat16)
-        return fused_encode_image_siglip(model, p, img, normalize=True)
+        return img + salt.astype(jnp.bfloat16)
 
-    @jax.jit
-    def loop(p, raw_, iters):
-        def body(_, salt):
-            out = embed(p, raw_, salt)
-            return out[0, 0].astype(jnp.float32) * 1e-6
-        return jax.lax.fori_loop(0, iters, body, jnp.asarray(1e-6))
+    def embed(p, raw_u8, salt):
+        return fused_encode_image_siglip(
+            model, p, prep(raw_u8, salt), normalize=True)
 
-    float(loop(params, raw, 1))
-    float(loop(params, raw, 10))
-    t0 = _t.perf_counter(); float(loop(params, raw, 1))
-    ts = _t.perf_counter() - t0
-    t0 = _t.perf_counter(); float(loop(params, raw, 10))
-    tl = _t.perf_counter() - t0
-    ips = batch * 10 / (max(tl - ts, 1e-9) / 9 * 10)
-    return {"siglip_so400m_bf16_img_per_s": round(ips, 1)}
+    def make_loop(encode):
+        @jax.jit
+        def loop(p, raw_, iters):
+            def body(_, salt):
+                out = encode(p, raw_, salt)
+                return out[0, 0].astype(jnp.float32) * 1e-6
+            return jax.lax.fori_loop(0, iters, body, jnp.asarray(1e-6))
+        return loop
+
+    def time_loop(loop, p):
+        float(loop(p, raw, 1))
+        float(loop(p, raw, 10))
+        t0 = _t.perf_counter(); float(loop(p, raw, 1))
+        ts = _t.perf_counter() - t0
+        t0 = _t.perf_counter(); float(loop(p, raw, 10))
+        tl = _t.perf_counter() - t0
+        return batch * 10 / (max(tl - ts, 1e-9) / 9 * 10)
+
+    ips = time_loop(make_loop(embed), params)
+    out = {"siglip_so400m_bf16_img_per_s": round(ips, 1)}
+
+    def _calib():
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            calib = np.asarray(
+                prep(jnp.asarray(np.asarray(raw)[:4]), jnp.asarray(0.0)),
+                np.float32)
+            return prepare_int8_siglip_tower(
+                init_model, jax.device_get(params), jnp.asarray(calib))
+
+    qtower = _disk_cached_tree("int8_siglip_so400m", _calib)
+    bundle = jax.device_put(
+        {"fp": jax.device_get(params), "q": jax.device_get(qtower)})
+
+    def embed_q(b, raw_u8, salt):
+        return fused_encode_image_siglip_int8(
+            model, b["fp"], b["q"], prep(raw_u8, salt), normalize=True)
+
+    int8_ips = time_loop(make_loop(embed_q), bundle)
+    zero = jnp.asarray(0.0)
+    bf16_out = np.asarray(jax.jit(embed)(params, raw, zero), np.float32)
+    q_out = np.asarray(jax.jit(embed_q)(bundle, raw, zero), np.float32)
+    cos = float((bf16_out * q_out).sum(-1).mean())
+    out["siglip_so400m_int8_img_per_s"] = round(int8_ips, 1)
+    out["siglip_so400m_int8_cos_vs_bf16"] = round(cos, 5)
+    return out
 
 
 if __name__ == "__main__":

@@ -88,7 +88,7 @@ def dense(quant, features: int, use_bias: bool = True, dtype=jnp.float32,
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
-QUANT_LAYER_NAMES = ("in_proj", "out_proj", "c_fc", "c_proj")
+QUANT_LAYER_NAMES = ("in_proj", "out_proj", "c_fc", "c_proj", "fc1", "fc2")
 
 
 def quantize_dense_tree(params: Any) -> Any:

@@ -549,3 +549,244 @@ def fused_encode_image_siglip(
     )
     pooled = head.apply({"params": p["head"]}, x)
     return l2_normalize(pooled) if normalize else pooled
+
+
+def fused_encode_text_siglip(
+    model,                         # models.siglip.Siglip
+    params: Dict[str, Any],
+    input_ids: jax.Array,          # int [B, ctx<=64]
+    normalize: bool = True,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Siglip.encode_text via fused block kernels (bidirectional attention,
+    tanh-GELU, eps=1e-6; pooled = LAST token -> head projection)."""
+    cfg = model.cfg.text
+    p = params["text_model"]
+    x = p["token_embedding"]["embedding"].astype(dtype)[input_ids]
+    n_valid = input_ids.shape[1]
+    x = x + p["position_embedding"][:n_valid].astype(dtype)
+
+    align = 8 if interpret else 16
+    n_pad = _round_up(n_valid, align)
+    if n_pad != n_valid:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n_valid), (0, 0)])
+
+    for i in range(cfg.layers):
+        bp = p[f"blocks_{i}"]
+        x = fused_block(
+            x,
+            bp["in_proj"]["kernel"], bp["in_proj"]["bias"],
+            bp["out_proj"]["kernel"], bp["out_proj"]["bias"],
+            bp["fc1"]["kernel"], bp["fc1"]["bias"],
+            bp["fc2"]["kernel"], bp["fc2"]["bias"],
+            jnp.stack([bp["ln_1"]["scale"], bp["ln_1"]["bias"]]),
+            jnp.stack([bp["ln_2"]["scale"], bp["ln_2"]["bias"]]),
+            heads=cfg.heads, kv_valid=n_valid, act="tanh",
+            ln_eps=cfg.layer_norm_eps, interpret=interpret,
+        )
+    x = _ln_affine(x[:, n_valid - 1], p["final_layer_norm"]["scale"],
+                   p["final_layer_norm"]["bias"], eps=cfg.layer_norm_eps)
+    pooled = x @ p["head"]["kernel"].astype(dtype) \
+        + p["head"]["bias"].astype(dtype)
+    return l2_normalize(pooled) if normalize else pooled
+
+
+def prepare_int8_siglip_text_tower(
+    model, params: Dict[str, Any], calib_ids: jax.Array
+) -> Dict[str, Any]:
+    """Quantize the SigLIP text tower's block projections to int8 with
+    static calibrated activation scales (mirrors prepare_int8_siglip_tower
+    via method='encode_text')."""
+    import numpy as np
+
+    from ..models.quant import calibrate_act_scales, quantize_dense_tree
+    from ..models.siglip import Siglip
+
+    p = jax.device_get(params)
+    tp = dict(p["text_model"])
+    n_layers = model.cfg.text.layers
+    for i in range(n_layers):
+        tp[f"blocks_{i}"] = quantize_dense_tree(tp[f"blocks_{i}"])
+    qparams = dict(p, text_model=tp)
+    dyn = Siglip(model.cfg, dtype=model.dtype, quant=True,
+                 attn_impl="reference")
+    static = calibrate_act_scales(
+        dyn, qparams, [(calib_ids,)],
+        apply_kwargs={"method": "encode_text"},
+    )
+    blocks = static["text_model"]
+    fp_blocks = p["text_model"]
+    out = {"blocks": []}
+    for i in range(n_layers):
+        bp = blocks[f"blocks_{i}"]
+        fp = fp_blocks[f"blocks_{i}"]
+        out["blocks"].append({
+            "wqkv_q": jnp.asarray(bp["in_proj"]["kernel_q"]),
+            "sqkv": jnp.asarray(bp["in_proj"]["scale"]),
+            "bqkv": jnp.asarray(fp["in_proj"]["bias"]),
+            "wo_q": jnp.asarray(bp["out_proj"]["kernel_q"]),
+            "so": jnp.asarray(bp["out_proj"]["scale"]),
+            "bo": jnp.asarray(fp["out_proj"]["bias"]),
+            "w1_q": jnp.asarray(bp["fc1"]["kernel_q"]),
+            "s1": jnp.asarray(bp["fc1"]["scale"]),
+            "b1": jnp.asarray(fp["fc1"]["bias"]),
+            "w2_q": jnp.asarray(bp["fc2"]["kernel_q"]),
+            "s2": jnp.asarray(bp["fc2"]["scale"]),
+            "b2": jnp.asarray(fp["fc2"]["bias"]),
+            "ln1": jnp.stack([fp["ln_1"]["scale"], fp["ln_1"]["bias"]]),
+            "ln2": jnp.stack([fp["ln_2"]["scale"], fp["ln_2"]["bias"]]),
+            "act_scales": jnp.asarray(np.stack([
+                bp["in_proj"]["act_scale"],
+                bp["out_proj"]["act_scale"],
+                bp["fc1"]["act_scale"],
+                bp["fc2"]["act_scale"],
+            ]), jnp.float32),
+        })
+    return out
+
+
+def fused_encode_text_siglip_int8(
+    model,
+    params: Dict[str, Any],        # full fp tree (embeds/final LN/head)
+    qtower: Dict[str, Any],        # prepare_int8_siglip_text_tower output
+    input_ids: jax.Array,
+    normalize: bool = True,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Siglip.encode_text with W8A8 fused block kernels."""
+    from ..ops.fused_block import fused_block_int8
+
+    cfg = model.cfg.text
+    p = params["text_model"]
+    x = p["token_embedding"]["embedding"].astype(dtype)[input_ids]
+    n_valid = input_ids.shape[1]
+    x = x + p["position_embedding"][:n_valid].astype(dtype)
+
+    align = 8 if interpret else 16
+    n_pad = _round_up(n_valid, align)
+    if n_pad != n_valid:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n_valid), (0, 0)])
+
+    for bp in qtower["blocks"]:
+        x = fused_block_int8(
+            x,
+            bp["wqkv_q"], bp["sqkv"], bp["bqkv"],
+            bp["wo_q"], bp["so"], bp["bo"],
+            bp["w1_q"], bp["s1"], bp["b1"],
+            bp["w2_q"], bp["s2"], bp["b2"],
+            bp["ln1"], bp["ln2"], bp["act_scales"],
+            heads=cfg.heads, kv_valid=n_valid, act="tanh",
+            ln_eps=cfg.layer_norm_eps, interpret=interpret,
+        )
+    x = _ln_affine(x[:, n_valid - 1], p["final_layer_norm"]["scale"],
+                   p["final_layer_norm"]["bias"], eps=cfg.layer_norm_eps)
+    pooled = x @ p["head"]["kernel"].astype(dtype) \
+        + p["head"]["bias"].astype(dtype)
+    return l2_normalize(pooled) if normalize else pooled
+
+
+def prepare_int8_siglip_tower(
+    model, params: Dict[str, Any], calib_images: jax.Array
+) -> Dict[str, Any]:
+    """Quantize the SigLIP vision tower's block projections to int8 and
+    calibrate static activation scales (mirrors prepare_int8_tower; the
+    patchify projection and MAP head stay fp — they are a rounding error of
+    the FLOPs and the head feeds the final embedding directly)."""
+    import numpy as np
+
+    from ..models.quant import calibrate_act_scales, quantize_dense_tree
+    from ..models.siglip import Siglip
+
+    p = jax.device_get(params)
+    vp = dict(p["vision_model"])
+    n_layers = model.cfg.vision.layers
+    for i in range(n_layers):
+        vp[f"blocks_{i}"] = quantize_dense_tree(vp[f"blocks_{i}"])
+    qparams = dict(p, vision_model=vp)
+    dyn = Siglip(model.cfg, dtype=model.dtype, quant=True,
+                 attn_impl="reference")
+    static = calibrate_act_scales(
+        dyn, qparams, [(calib_images,)],
+        apply_kwargs={"method": "encode_image"},
+    )
+    blocks = static["vision_model"]
+    fp_blocks = p["vision_model"]
+    out = {"blocks": []}
+    for i in range(n_layers):
+        bp = blocks[f"blocks_{i}"]
+        fp = fp_blocks[f"blocks_{i}"]
+        out["blocks"].append({
+            "wqkv_q": jnp.asarray(bp["in_proj"]["kernel_q"]),
+            "sqkv": jnp.asarray(bp["in_proj"]["scale"]),
+            "bqkv": jnp.asarray(fp["in_proj"]["bias"]),
+            "wo_q": jnp.asarray(bp["out_proj"]["kernel_q"]),
+            "so": jnp.asarray(bp["out_proj"]["scale"]),
+            "bo": jnp.asarray(fp["out_proj"]["bias"]),
+            "w1_q": jnp.asarray(bp["fc1"]["kernel_q"]),
+            "s1": jnp.asarray(bp["fc1"]["scale"]),
+            "b1": jnp.asarray(fp["fc1"]["bias"]),
+            "w2_q": jnp.asarray(bp["fc2"]["kernel_q"]),
+            "s2": jnp.asarray(bp["fc2"]["scale"]),
+            "b2": jnp.asarray(fp["fc2"]["bias"]),
+            "ln1": jnp.stack([fp["ln_1"]["scale"], fp["ln_1"]["bias"]]),
+            "ln2": jnp.stack([fp["ln_2"]["scale"], fp["ln_2"]["bias"]]),
+            "act_scales": jnp.asarray(np.stack([
+                bp["in_proj"]["act_scale"],
+                bp["out_proj"]["act_scale"],
+                bp["fc1"]["act_scale"],
+                bp["fc2"]["act_scale"],
+            ]), jnp.float32),
+        })
+    return out
+
+
+def fused_encode_image_siglip_int8(
+    model,                         # models.siglip.Siglip
+    params: Dict[str, Any],        # full fp tree (patchify/pos/LN/head)
+    qtower: Dict[str, Any],        # prepare_int8_siglip_tower output
+    images: jax.Array,
+    normalize: bool = True,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Siglip.encode_image with W8A8 fused block kernels (tanh-GELU,
+    eps=1e-6); MAP-head epilogue stays fp like the bf16 fused path."""
+    from ..ops.fused_block import fused_block_int8
+    from .siglip import SiglipMAPHead
+
+    cfg = model.cfg.vision
+    p = params["vision_model"]
+    x = patchify(images.astype(dtype), cfg.patch_size)
+    x = x @ p["patch_embed"]["kernel"].astype(dtype) \
+        + p["patch_embed"]["bias"].astype(dtype)
+    x = x + p["position_embedding"].astype(dtype)
+    n_valid = x.shape[1]
+
+    align = 8 if interpret else 16
+    n_pad = _round_up(n_valid, align)
+    if n_pad != n_valid:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n_valid), (0, 0)])
+
+    for bp in qtower["blocks"]:
+        x = fused_block_int8(
+            x,
+            bp["wqkv_q"], bp["sqkv"], bp["bqkv"],
+            bp["wo_q"], bp["so"], bp["bo"],
+            bp["w1_q"], bp["s1"], bp["b1"],
+            bp["w2_q"], bp["s2"], bp["b2"],
+            bp["ln1"], bp["ln2"], bp["act_scales"],
+            heads=cfg.heads, kv_valid=n_valid, act="tanh",
+            ln_eps=cfg.layer_norm_eps, interpret=interpret,
+        )
+    x = x[:, :n_valid]
+    x = _ln_affine(x, p["post_layernorm"]["scale"],
+                   p["post_layernorm"]["bias"], eps=cfg.layer_norm_eps)
+
+    head = SiglipMAPHead(
+        cfg.width, cfg.heads, cfg.intermediate_size, cfg.layer_norm_eps,
+        dtype=dtype,
+    )
+    pooled = head.apply({"params": p["head"]}, x)
+    return l2_normalize(pooled) if normalize else pooled

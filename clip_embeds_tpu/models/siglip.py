@@ -73,14 +73,18 @@ class SiglipBlock(nn.Module):
     ln_eps: float
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: Any = False   # False | 'dynamic' | 'static' (models/quant.py)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from .quant import dense
+
         b, n, _ = x.shape
         hd = self.width // self.heads
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                          name="ln_1")(x)
-        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")(h)
+        qkv = dense(self.quant, 3 * self.width, dtype=self.dtype,
+                    name="in_proj")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -90,12 +94,15 @@ class SiglipBlock(nn.Module):
             heads(q), heads(k), heads(v), impl=self.attn_impl
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.width)
-        x = x + nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
+        x = x + dense(self.quant, self.width, dtype=self.dtype,
+                      name="out_proj")(out)
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                          name="ln_2")(x)
-        h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        h = dense(self.quant, self.intermediate_size, dtype=self.dtype,
+                  name="fc1")(h)
         h = tanh_gelu(h)
-        return x + nn.Dense(self.width, dtype=self.dtype, name="fc2")(h)
+        return x + dense(self.quant, self.width, dtype=self.dtype,
+                         name="fc2")(h)
 
 
 class SiglipMAPHead(nn.Module):
@@ -152,6 +159,7 @@ class SiglipVisionTower(nn.Module):
     cfg: SiglipVisionConfig
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: Any = False   # block projections only; patchify/MAP head stay fp
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -168,7 +176,8 @@ class SiglipVisionTower(nn.Module):
             x = SiglipBlock(
                 cfg.width, cfg.heads, cfg.intermediate_size,
                 cfg.layer_norm_eps, dtype=self.dtype,
-                attn_impl=self.attn_impl, name=f"blocks_{i}",
+                attn_impl=self.attn_impl, quant=self.quant,
+                name=f"blocks_{i}",
             )(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="post_layernorm")(x)
@@ -182,6 +191,7 @@ class SiglipTextTower(nn.Module):
     cfg: SiglipTextConfig
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: Any = False   # block projections only; embeds/head stay fp
 
     @nn.compact
     def __call__(self, input_ids: jax.Array) -> jax.Array:
@@ -201,7 +211,8 @@ class SiglipTextTower(nn.Module):
             x = SiglipBlock(
                 cfg.width, cfg.heads, cfg.intermediate_size,
                 cfg.layer_norm_eps, dtype=self.dtype,
-                attn_impl=self.attn_impl, name=f"blocks_{i}",
+                attn_impl=self.attn_impl, quant=self.quant,
+                name=f"blocks_{i}",
             )(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="final_layer_norm")(x)
@@ -213,13 +224,16 @@ class Siglip(nn.Module):
     cfg: SiglipConfig
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: Any = False   # vision-tower block projections (calibration route)
 
     def setup(self):
         self.vision_model = SiglipVisionTower(
-            self.cfg.vision, dtype=self.dtype, attn_impl=self.attn_impl
+            self.cfg.vision, dtype=self.dtype, attn_impl=self.attn_impl,
+            quant=self.quant,
         )
         self.text_model = SiglipTextTower(
-            self.cfg.text, dtype=self.dtype, attn_impl=self.attn_impl
+            self.cfg.text, dtype=self.dtype, attn_impl=self.attn_impl,
+            quant=self.quant,
         )
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(jnp.log(10.0)), ()

@@ -15,6 +15,8 @@ sys.path.insert(0, "/root/repo")
 
 from clip_embeds_tpu.models.serving import (  # noqa: E402
     fused_encode_image_siglip,
+    fused_encode_image_siglip_int8,
+    prepare_int8_siglip_tower,
     siglip_fused_available,
 )
 from clip_embeds_tpu.models.siglip import (  # noqa: E402
@@ -68,22 +70,53 @@ def main():
             return jax.lax.fori_loop(0, iters, body, jnp.asarray(1e-6))
         return loop
 
+    # int8 W8A8: one-time CPU calibration (cached — the fp32 27-layer
+    # observation pass on a 1-core host is minutes-slow)
+    import os
+    import pickle
+    cache = "/root/repo/perf/.cache_siglip_int8.pkl"
+    try:
+        with open(cache, "rb") as f:
+            qtower = pickle.load(f)
+    except Exception:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            calib = np.asarray(
+                prep(jnp.asarray(np.asarray(raw)[:4]), jnp.asarray(0.0)),
+                np.float32)
+            qtower = jax.device_get(prepare_int8_siglip_tower(
+                init_model, params, jnp.asarray(calib)))
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        with open(cache, "wb") as f:
+            pickle.dump(qtower, f)
+    bundle = jax.device_put({"fp": jax.device_get(params),
+                             "q": qtower})
+
+    def fused_int8(b, raw_u8, salt):
+        return fused_encode_image_siglip_int8(
+            model, b["fp"], b["q"], prep(raw_u8, salt), normalize=True)
+
     outs = {}
-    for name, encode in (("composable", composable), ("fused", fused)):
+    variants = (("composable", composable, params),
+                ("fused", fused, params),
+                ("int8", fused_int8, bundle))
+    for name, encode, p in variants:
         loop = make_loop(encode)
-        float(loop(params, raw, 1))
-        float(loop(params, raw, 10))
-        t0 = time.perf_counter(); float(loop(params, raw, 1))
+        float(loop(p, raw, 1))
+        float(loop(p, raw, 10))
+        t0 = time.perf_counter(); float(loop(p, raw, 1))
         t_s = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(loop(params, raw, 10))
+        t0 = time.perf_counter(); float(loop(p, raw, 10))
         t_l = time.perf_counter() - t0
         per = (t_l - t_s) / 9
         print(f"{name}: {batch / per:,.1f} img/s/chip "
               f"({per * 1e3:.0f} ms/batch-{batch})", flush=True)
         outs[name] = np.asarray(jax.jit(encode)(
-            params, raw, jnp.asarray(0.0)), np.float32)
+            p, raw, jnp.asarray(0.0)), np.float32)
     cos = float((outs["composable"] * outs["fused"]).sum(-1).mean())
     print("cos fused vs composable:", round(cos, 5))
+    cos_q = float((outs["fused"] * outs["int8"]).sum(-1).mean())
+    print("cos int8 vs fused bf16:", round(cos_q, 5))
 
 
 if __name__ == "__main__":

@@ -191,6 +191,107 @@ def test_fused_encode_image_siglip_parity():
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
+def test_fused_encode_image_siglip_int8_parity():
+    """SigLIP W8A8 fused path (calibrated static scales) stays close to the
+    fp composable encode_image."""
+    from clip_embeds_tpu.models.serving import (
+        fused_encode_image_siglip_int8,
+        prepare_int8_siglip_tower,
+    )
+    from clip_embeds_tpu.models.siglip import (
+        Siglip,
+        SiglipConfig,
+        SiglipTextConfig,
+        SiglipVisionConfig,
+    )
+
+    cfg = SiglipConfig(
+        vision=SiglipVisionConfig(image_size=32, patch_size=16, width=64,
+                                  layers=2, heads=4, intermediate_size=128),
+        text=SiglipTextConfig(vocab_size=200, width=64, layers=2, heads=4,
+                              intermediate_size=128,
+                              max_position_embeddings=16),
+    )
+    model = Siglip(cfg)
+    rng = np.random.default_rng(12)
+    images = jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    calib = jnp.asarray(
+        rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, 100, (2, 16)).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), images, ids)["params"]
+
+    qtower = prepare_int8_siglip_tower(model, params, calib)
+    want = model.apply({"params": params}, images, normalize=True,
+                       method="encode_image")
+    got = fused_encode_image_siglip_int8(
+        model, params, qtower, images, dtype=jnp.float32, interpret=True)
+    cos = float((np.asarray(got) * np.asarray(want)).sum(-1).mean())
+    assert cos > 0.99, cos
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(got), axis=-1), 1.0, rtol=1e-5)
+
+
+def _tiny_siglip():
+    from clip_embeds_tpu.models.siglip import (
+        Siglip,
+        SiglipConfig,
+        SiglipTextConfig,
+        SiglipVisionConfig,
+    )
+
+    cfg = SiglipConfig(
+        vision=SiglipVisionConfig(image_size=32, patch_size=16, width=64,
+                                  layers=2, heads=4, intermediate_size=128),
+        text=SiglipTextConfig(vocab_size=200, width=64, layers=2, heads=4,
+                              intermediate_size=128,
+                              max_position_embeddings=16),
+    )
+    model = Siglip(cfg)
+    rng = np.random.default_rng(13)
+    images = jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, 100, (2, 16)).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), images, ids)["params"]
+    return model, params, images, ids, rng
+
+
+def test_fused_encode_text_siglip_parity():
+    """SigLIP fused text path (bidirectional, last-token pool -> head) ==
+    the composable Siglip.encode_text."""
+    from clip_embeds_tpu.models.serving import fused_encode_text_siglip
+
+    model, params, _, ids, _ = _tiny_siglip()
+    want = model.apply({"params": params}, ids, normalize=True,
+                       method="encode_text")
+    got = fused_encode_text_siglip(
+        model, params, ids, dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_fused_encode_text_siglip_int8_parity():
+    """SigLIP W8A8 fused text path stays close to the fp composable."""
+    from clip_embeds_tpu.models.serving import (
+        fused_encode_text_siglip_int8,
+        prepare_int8_siglip_text_tower,
+    )
+
+    model, params, _, ids, rng = _tiny_siglip()
+    calib = jnp.asarray(rng.integers(1, 100, (4, 16)).astype(np.int32))
+    qtower = prepare_int8_siglip_text_tower(model, params, calib)
+    want = model.apply({"params": params}, ids, normalize=True,
+                       method="encode_text")
+    got = fused_encode_text_siglip_int8(
+        model, params, qtower, ids, dtype=jnp.float32, interpret=True)
+    cos = float((np.asarray(got) * np.asarray(want)).sum(-1).mean())
+    assert cos > 0.99, cos
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(got), axis=-1), 1.0, rtol=1e-5)
+
+
 def test_patchify_truncates_nondivisible_like_conv_valid():
     """384/14-style shapes: bottom/right remainder pixels drop (torch Conv2d
     valid padding), so so400m-patch14-384 yields 27x27 patches."""
