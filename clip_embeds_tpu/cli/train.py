@@ -22,6 +22,38 @@ from typing import Dict, Iterator
 import numpy as np
 
 
+class ParseKwargs(argparse.Action):
+    """key=value list -> dict with literal-eval values (reference
+    params.py:14-22 ParseKwargs, used by --aug-cfg)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        import ast
+
+        kw = {}
+        for value in values:
+            key, value = value.split("=", 1)
+            try:
+                kw[key] = ast.literal_eval(value)
+            except (ValueError, SyntaxError):
+                kw[key] = str(value)
+        setattr(namespace, self.dest, kw)
+
+
+def build_train_transform(args, model_cfg):
+    """RandomResizedCrop(+aug_cfg) train transform for the model's geometry
+    (reference main.py:223-231 create_model_and_transforms(..., aug_cfg) ->
+    preprocess_train; transform.py:276-345)."""
+    # getattr: programmatic callers build bare Namespaces without the flags
+    if getattr(args, "no_train_aug", False):
+        return None
+    from ..image.transform import image_transform
+
+    return image_transform(
+        model_cfg.vision.image_size, is_train=True,
+        aug_cfg=getattr(args, "aug_cfg", None) or None,
+    )
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser("clip_embeds_tpu trainer")
     p.add_argument("--model", default="ViT-L-14-336")
@@ -41,6 +73,16 @@ def parse_args(argv=None):
                    help="LiT: freeze the vision tower (main.py:271-275)")
     p.add_argument("--usehardtext", action="store_true")
     p.add_argument("--augfiles", nargs="*", default=None)
+    p.add_argument("--aug-cfg", nargs="*", default={}, action=ParseKwargs,
+                   help="train-augmentation key=value pairs (reference "
+                        "params.py:264 --aug-cfg; transform.py:63-72 "
+                        "AugmentationCfg), e.g. scale='(0.8,1.0)' "
+                        "color_jitter='(0.4,0.4,0.4,0.1)' "
+                        "color_jitter_prob=0.8 gray_scale_prob=0.2")
+    p.add_argument("--no-train-aug", action="store_true",
+                   help="train on the deterministic eval transform instead "
+                        "of RandomResizedCrop (not what the reference does; "
+                        "for ablation)")
     p.add_argument("--siglip", action="store_true")
     p.add_argument("--distill-model", default=None,
                    help="teacher arch to distill from (params.py:461-464)")
@@ -153,6 +195,7 @@ def build_data(args, model_cfg, epoch: int = 0) -> Iterator[Dict[str, np.ndarray
             ds, args.batch_size, model_cfg.vision.image_size,
             get_tokenizer(model_cfg.text.context_length), epoch=epoch,
             seed=args.seed,
+            train_transform=build_train_transform(args, model_cfg),
         ), steps
     if dataset_type == "webdataset":
         from ..data.wds import (
@@ -178,7 +221,8 @@ def build_data(args, model_cfg, epoch: int = 0) -> Iterator[Dict[str, np.ndarray
         batches = wds_batches(
             ds, args.batch_size, image_size=model_cfg.vision.image_size,
             tokenizer=get_tokenizer(model_cfg.text.context_length),
-            epoch=epoch,
+            epoch=epoch, seed=args.seed,
+            train_transform=build_train_transform(args, model_cfg),
         )
         return batches, steps
     if dataset_type == "synthetic":
@@ -208,12 +252,13 @@ def build_data(args, model_cfg, epoch: int = 0) -> Iterator[Dict[str, np.ndarray
         image_size=model_cfg.vision.image_size,
         augmenter=aug,
         seed=args.seed,
+        train_transform=build_train_transform(args, model_cfg),
     )
     steps = len(ds) // args.batch_size
     return datamix_batches(
         ds, args.batch_size,
         max_hard_per_batch=args.batch_size // 4 if args.usehardtext else 0,
-        seed=args.seed,
+        seed=args.seed, epoch=epoch,
     ), steps
 
 

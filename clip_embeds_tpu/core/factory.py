@@ -198,13 +198,29 @@ def unflatten_params(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
 def create_model_and_transforms(
     name: str,
     pretrained: Optional[str] = None,
+    aug_cfg=None,
     **kw,
 ):
-    """(model, params, preprocess_fn, tokenizer) bundle like the reference API."""
-    from ..image.preprocess import preprocess_clip
+    """(model, params, preprocess_fn, tokenizer) bundle like the reference API
+    (factory.py:822-960).
+
+    ``preprocess_fn`` honors the pretrained-table entry's preprocess cfg
+    (mean/std/interpolation/resize_mode — pretrained.py _pcfg/_slpcfg/_apcfg)
+    so e.g. SigLIP tags get squash-resize + 0.5 stats automatically. Pass
+    ``aug_cfg`` (dict or image.transform.AugmentationCfg) to also get the
+    train transform: the returned tuple grows a 5th element
+    ``preprocess_train(image, rng)``.
+    """
+    from ..image.transform import image_transform_v2, pretrained_preprocess_cfg
 
     model, params = create_model(name, pretrained, **kw)
     size = model.cfg.vision.image_size
-    preprocess = functools.partial(preprocess_clip, image_size=size)
+    tag = pretrained if (pretrained and not os.path.exists(pretrained)) else ""
+    pp_cfg = pretrained_preprocess_cfg(name.replace("/", "-"), tag or "", size)
+    preprocess = image_transform_v2(pp_cfg, is_train=False)
     tokenizer = get_tokenizer(model.cfg.text.context_length)
+    if aug_cfg is not None:
+        preprocess_train = image_transform_v2(pp_cfg, is_train=True,
+                                              aug_cfg=aug_cfg)
+        return model, params, preprocess, tokenizer, preprocess_train
     return model, params, preprocess, tokenizer

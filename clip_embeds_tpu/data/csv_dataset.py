@@ -66,25 +66,50 @@ def csv_batches(
     shuffle: bool = True,
     seed: int = 0,
     drop_last: bool = True,
+    train_transform=None,
+    num_workers: int = 8,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Deterministic epoch-shuffled fixed-size numpy batches.
 
     Images decode+preprocess per batch on the C++ fast path (PIL fallback
     per slot); an image file that fails to decode raises, matching the
     reference DataLoader's behavior for csv data (no log_and_continue there).
+
+    ``train_transform`` (image.transform ``(image, rng) -> [S,S,3]``)
+    switches the image path to the randomized train pipeline
+    (RandomResizedCrop + aug_cfg, reference transform.py:276-345) with
+    per-(seed, epoch, sample) Philox streams, threaded.
     """
     from ..image.preprocess import preprocess_batch
 
     order = list(range(len(dataset)))
     if shuffle:
         random.Random((seed, epoch).__hash__()).shuffle(order)
-    for start in range(0, len(order), batch_size):
-        idx = order[start : start + batch_size]
-        if len(idx) < batch_size and drop_last:
-            return
-        paths = [dataset.images[i] for i in idx]
-        caps = [dataset.captions[i] for i in idx]
-        yield {
-            "images": preprocess_batch(paths, image_size, preprocess_variant),
-            "texts": tokenizer(caps),
-        }
+    pool = None
+    if train_transform is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..image.transform import sample_rng
+
+        pool = ThreadPoolExecutor(num_workers)
+
+        def fetch(i: int) -> np.ndarray:
+            return train_transform(dataset.images[i],
+                                   sample_rng(seed, epoch, i))
+
+    try:
+        for start in range(0, len(order), batch_size):
+            idx = order[start : start + batch_size]
+            if len(idx) < batch_size and drop_last:
+                return
+            caps = [dataset.captions[i] for i in idx]
+            if pool is not None:
+                images = np.stack(list(pool.map(fetch, idx)))
+            else:
+                paths = [dataset.images[i] for i in idx]
+                images = preprocess_batch(paths, image_size,
+                                          preprocess_variant)
+            yield {"images": images, "texts": tokenizer(caps)}
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)

@@ -198,6 +198,8 @@ def wds_batches(
     epoch: int = 0,
     preprocess_variant: str = "clip",
     drop_last: bool = True,
+    train_transform=None,
+    seed: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Decode -> preprocess -> tokenize -> fixed-size numpy batches.
 
@@ -206,6 +208,12 @@ def wds_batches(
     are decoded+preprocessed per batch by the native C++ pipeline with
     per-slot PIL fallback — undecodable samples drop with log_and_continue
     semantics and the batch refills from later samples.
+
+    ``train_transform`` (image.transform ``(image, rng) -> [S,S,3]``) routes
+    every sample through the randomized train pipeline (RandomResizedCrop +
+    aug_cfg) with a per-(seed, epoch, stream-position) Philox rng; the
+    deterministic native geometry cannot express a random crop, so this path
+    decodes per sample.
     """
     from ..image.preprocess import preprocess_batch
     from ..text.tokenizer import get_tokenizer
@@ -214,6 +222,29 @@ def wds_batches(
 
     tokenizer = tokenizer or get_tokenizer()
     native_kwargs = variant_kwargs(preprocess_variant)
+    if train_transform is not None:
+        import io
+
+        from PIL import Image
+
+        from ..image.transform import sample_rng
+
+        counter = 0
+
+        def train_rows(item):
+            nonlocal counter
+            rng = sample_rng(seed, epoch, counter)
+            counter += 1
+            img = item.get("image")
+            if img is None:
+                try:
+                    img = Image.open(io.BytesIO(item["image_bytes"]))
+                    img.load()
+                except Exception as exc:
+                    logging.warning("dropping undecodable sample: %s", exc)
+                    return
+            rows.append(train_transform(img, rng))
+            texts.append(item["text"])
 
     pending: List[dict] = []   # raw-bytes samples awaiting batch decode
     rows: List[np.ndarray] = []
@@ -243,7 +274,9 @@ def wds_batches(
         return out
 
     for item in dataset(epoch):
-        if "image_bytes" in item:
+        if train_transform is not None:
+            train_rows(item)
+        elif "image_bytes" in item:
             if native_kwargs is None:
                 raise ValueError(
                     f"preprocess variant {preprocess_variant!r} has no native "

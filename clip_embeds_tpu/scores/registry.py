@@ -94,8 +94,32 @@ def get_score_model(
             "checkpoint=<bundle dir>"
         )
     if model in HPSV2_MODELS + PICKSCORE_MODELS:
-        raise NotImplementedError(
-            f"{model!r} routes through CLIPScore: use the HPSv2/PickScore "
-            "arch aliases ('<tag>:<arch>' names) with a converted checkpoint"
-        )
+        arch, variant = CLIPSCORE_ALIASES[model]
+        import jax.numpy as jnp
+
+        from ..core.factory import create_model
+        from .score import CLIPScore
+
+        m, params = create_model(arch, checkpoint, dtype=jnp.bfloat16)
+        return CLIPScore(m, params, preprocess_variant=variant, **kwargs)
     raise KeyError(f"unknown score model {model!r}")
+
+
+# Alias -> (CLIP arch, preprocess variant). Both scorers are
+# plain CLIP towers scored by cosine:
+# * HPSv2 is a tuned open_clip ViT-H-14 whose hpsv2.score() returns
+#   diag(img @ txt.T) of the normalized features
+#   (reference clipscore_models/hpsv2_model.py:9-47; the hpsv2 package's
+#   score() body). Preprocess = open_clip ViT-H-14 default (shortest-edge
+#   bicubic 224 + center crop, OpenAI stats).
+# * PickScore_v1 is a tuned laion/CLIP-ViT-H-14-laion2B-s32B-b79K scored by
+#   normalized-feature dot product (clipscore_models/pickscore_model.py:12-69);
+#   its HF CLIPProcessor applies the same shortest+crop+OpenAI-stats
+#   preprocessing at 224.
+# Pass checkpoint=<converted .npz / torch .pt> (core/torch_convert.py handles
+# both the open_clip and HF CLIP state-dict layouts); without one the tower
+# is random-init, which still exercises the full plumbing.
+CLIPSCORE_ALIASES = {
+    "hpsv2": ("ViT-H-14", "clip"),
+    "pickscore-v1": ("ViT-H-14", "clip"),
+}
