@@ -126,6 +126,7 @@ class LlamaAttention(nn.Module):
     cfg: LlamaConfig
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: str = ""  # '' | 'dynamic' | 'static' W8A8 projections (quant.py)
 
     @nn.compact
     def __call__(
@@ -135,17 +136,21 @@ class LlamaAttention(nn.Module):
         sin: jax.Array,
         kv_mask: Optional[jax.Array],
         decode: bool = False,
+        prefix: Optional[Tuple[jax.Array, jax.Array]] = None,
+        sow_kv: bool = False,
     ) -> jax.Array:
+        from .quant import dense as make_dense
+
         cfg = self.cfg
         b, n, _ = x.shape
         hd = cfg.head_dim
         qkv_bias = cfg.attention_bias
-        q = nn.Dense(cfg.num_heads * hd, use_bias=qkv_bias, dtype=self.dtype,
-                     name="q_proj")(x)
-        k = nn.Dense(cfg.kv_heads * hd, use_bias=qkv_bias, dtype=self.dtype,
-                     name="k_proj")(x)
-        v = nn.Dense(cfg.kv_heads * hd, use_bias=qkv_bias, dtype=self.dtype,
-                     name="v_proj")(x)
+        q = make_dense(self.quant, cfg.num_heads * hd, use_bias=qkv_bias,
+                       dtype=self.dtype, name="q_proj")(x)
+        k = make_dense(self.quant, cfg.kv_heads * hd, use_bias=qkv_bias,
+                       dtype=self.dtype, name="k_proj")(x)
+        v = make_dense(self.quant, cfg.kv_heads * hd, use_bias=qkv_bias,
+                       dtype=self.dtype, name="v_proj")(x)
 
         q = q.reshape(b, n, cfg.num_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, n, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
@@ -153,6 +158,54 @@ class LlamaAttention(nn.Module):
 
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
+
+        if sow_kv:
+            # expose post-RoPE, pre-GQA-repeat K/V (the reusable part of the
+            # image+question prefix — VQAScore m x n KV-prefix reuse,
+            # replacing the reference's per-pair full re-forward at
+            # t2v_metrics score.py:43-57 / llava_model.py:289-370)
+            self.sow("kv", "k", k.astype(self.dtype))
+            self.sow("kv", "v", v.astype(self.dtype))
+
+        if prefix is not None:
+            # suffix pass over a cached prefix: queries are the n suffix
+            # tokens; keys/values are [broadcast prefix KV ++ suffix KV].
+            # The prefix KV rides at batch 1 and broadcasts across the
+            # candidate-text batch — the image is encoded once per image,
+            # not once per (image, text) pair.
+            pk, pv, pmask = prefix
+            pk = jnp.broadcast_to(pk, (b,) + pk.shape[1:])
+            pv = jnp.broadcast_to(pv, (b,) + pv.shape[1:])
+            p_len = pk.shape[2]
+            k_all = jnp.concatenate([pk, k], axis=2)
+            v_all = jnp.concatenate([pv, v], axis=2)
+            if cfg.kv_heads != cfg.num_heads:
+                rep = cfg.num_heads // cfg.kv_heads
+                k_all = jnp.repeat(k_all, rep, axis=1)
+                v_all = jnp.repeat(v_all, rep, axis=1)
+            # [B, 1, n, P+n]: prefix fully visible, causal within the suffix
+            i = jnp.arange(n)[:, None]
+            j = jnp.arange(p_len + n)[None, :]
+            mask = (j < p_len) | (j - p_len <= i)
+            mask = jnp.broadcast_to(mask[None, None], (b, 1, n, p_len + n))
+            ok_parts = []
+            if pmask is not None:  # right-padded prefill slots
+                ok_parts.append(
+                    jnp.broadcast_to(pmask.astype(bool), (b, p_len)))
+            else:
+                ok_parts.append(jnp.ones((b, p_len), bool))
+            if kv_mask is not None:  # suffix padding
+                ok_parts.append(kv_mask.astype(bool))
+            else:
+                ok_parts.append(jnp.ones((b, n), bool))
+            ok = jnp.concatenate(ok_parts, axis=1)
+            mask = jnp.logical_and(mask, ok[:, None, None, :])
+            out = dot_product_attention(
+                q, k_all, v_all, causal=False, mask=mask, impl="reference"
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.num_heads * hd)
+            return make_dense(self.quant, cfg.hidden_size, use_bias=False,
+                              dtype=self.dtype, name="o_proj")(out)
 
         if decode:
             # autoregressive KV cache (flax 'cache' collection): append this
@@ -203,39 +256,47 @@ class LlamaAttention(nn.Module):
                 q, k, v, causal=True, mask=mask, impl=self.attn_impl
             )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.num_heads * hd)
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                        name="o_proj")(out)
+        return make_dense(self.quant, cfg.hidden_size, use_bias=False,
+                          dtype=self.dtype, name="o_proj")(out)
 
 
 class LlamaMLP(nn.Module):
     cfg: LlamaConfig
     dtype: Dtype = jnp.float32
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from .quant import dense as make_dense
+
         cfg = self.cfg
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
-                        dtype=self.dtype, name="gate_proj")(x)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False,
-                      dtype=self.dtype, name="up_proj")(x)
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                        name="down_proj")(jax.nn.silu(gate) * up)
+        gate = make_dense(self.quant, cfg.intermediate_size, use_bias=False,
+                          dtype=self.dtype, name="gate_proj")(x)
+        up = make_dense(self.quant, cfg.intermediate_size, use_bias=False,
+                        dtype=self.dtype, name="up_proj")(x)
+        return make_dense(self.quant, cfg.hidden_size, use_bias=False,
+                          dtype=self.dtype, name="down_proj")(
+            jax.nn.silu(gate) * up)
 
 
 class LlamaBlock(nn.Module):
     cfg: LlamaConfig
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: str = ""
 
     @nn.compact
-    def __call__(self, x, cos, sin, kv_mask, decode: bool = False):
+    def __call__(self, x, cos, sin, kv_mask, decode: bool = False,
+                 prefix=None, sow_kv: bool = False):
         h = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                     name="input_layernorm")(x)
         x = x + LlamaAttention(self.cfg, self.dtype, self.attn_impl,
-                               name="self_attn")(h, cos, sin, kv_mask, decode)
+                               self.quant,
+                               name="self_attn")(h, cos, sin, kv_mask, decode,
+                                                 prefix, sow_kv)
         h = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                     name="post_attention_layernorm")(x)
-        return x + LlamaMLP(self.cfg, self.dtype, name="mlp")(h)
+        return x + LlamaMLP(self.cfg, self.dtype, self.quant, name="mlp")(h)
 
 
 class LlamaModel(nn.Module):
@@ -246,6 +307,7 @@ class LlamaModel(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant: str = ""
 
     @nn.compact
     def __call__(
@@ -255,6 +317,9 @@ class LlamaModel(nn.Module):
                                                      # mode: over the cache)
         positions: Optional[jax.Array] = None,       # int [B, N]
         decode: bool = False,
+        prefix_kv: Optional[Any] = None,     # per-layer ((k, v), ...) —
+                                             # see LlamaAttention prefix
+        sow_kv: bool = False,
     ) -> jax.Array:
         cfg = self.cfg
         b, n, _ = inputs_embeds.shape
@@ -272,11 +337,21 @@ class LlamaModel(nn.Module):
         x = inputs_embeds
         block_cls = LlamaBlock
         if self.remat:
+            # remat is a training feature; the prefix/sow_kv serving paths
+            # never run under it (their non-pytree args would need static
+            # marking under jax.checkpoint)
+            assert prefix_kv is None and not sow_kv
             block_cls = nn.remat(LlamaBlock)
         for i in range(cfg.num_layers):
-            x = block_cls(cfg, self.dtype, self.attn_impl,
-                          name=f"layers_{i}")(x, cos, sin, attention_mask,
-                                              decode)
+            if prefix_kv is None and not sow_kv:
+                x = block_cls(cfg, self.dtype, self.attn_impl, self.quant,
+                              name=f"layers_{i}")(x, cos, sin, attention_mask,
+                                                  decode)
+            else:
+                x = block_cls(cfg, self.dtype, self.attn_impl, self.quant,
+                              name=f"layers_{i}")(
+                    x, cos, sin, attention_mask, decode,
+                    None if prefix_kv is None else prefix_kv[i], sow_kv)
         return RMSNorm(cfg.rms_norm_eps, self.dtype, name="norm")(x)
 
 
@@ -285,6 +360,7 @@ class LlamaForCausalLM(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant: str = ""
 
     def setup(self):
         self.embed_tokens = nn.Embed(
@@ -293,7 +369,8 @@ class LlamaForCausalLM(nn.Module):
             name="embed_tokens",
         )
         self.model = LlamaModel(
-            self.cfg, self.dtype, self.attn_impl, self.remat, name="model"
+            self.cfg, self.dtype, self.attn_impl, self.remat, self.quant,
+            name="model"
         )
         if not self.cfg.tie_word_embeddings:
             self.lm_head = nn.Dense(
@@ -310,8 +387,11 @@ class LlamaForCausalLM(nn.Module):
         attention_mask: Optional[jax.Array] = None,
         positions: Optional[jax.Array] = None,
         decode: bool = False,
+        prefix_kv: Optional[Any] = None,
+        sow_kv: bool = False,
     ) -> jax.Array:
-        return self.model(inputs_embeds, attention_mask, positions, decode)
+        return self.model(inputs_embeds, attention_mask, positions, decode,
+                          prefix_kv, sow_kv)
 
     def logits(self, hidden: jax.Array) -> jax.Array:
         if self.cfg.tie_word_embeddings:

@@ -95,6 +95,17 @@ def expand_like_tokens(
     return jnp.where(is_image, image_fill, gathered)
 
 
+def extract_prefix_kv(kv_vars, num_layers: int):
+    """Per-layer ((k, v), ...) from the 'kv' collection sown by
+    ``Llava.prefill`` (apply(..., mutable=['kv'])[1]['kv'])."""
+    tree = kv_vars["language_model"]["model"]
+    return tuple(
+        (tree[f"layers_{i}"]["self_attn"]["k"][0],
+         tree[f"layers_{i}"]["self_attn"]["v"][0])
+        for i in range(num_layers)
+    )
+
+
 class MultiModalProjector(nn.Module):
     hidden_size: int
     dtype: Dtype = jnp.float32
@@ -111,6 +122,7 @@ class Llava(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant_llm: str = ""  # W8A8 trunk projections ('' | 'dynamic' | 'static')
 
     def setup(self):
         self.vision_tower = VisionTransformer(
@@ -124,7 +136,7 @@ class Llava(nn.Module):
         )
         self.language_model = LlamaForCausalLM(
             self.cfg.llama, dtype=self.dtype, attn_impl=self.attn_impl,
-            remat=self.remat,
+            remat=self.remat, quant=self.quant_llm,
         )
 
     def encode_images(self, pixel_values: jax.Array) -> jax.Array:
@@ -176,6 +188,60 @@ class Llava(nn.Module):
                 image_features.shape[1], 1,
             ).astype(bool)
         hidden = self.language_model.trunk(embeds, mask)
+        return self.language_model.logits(hidden)
+
+    def prefill(
+        self,
+        input_ids: jax.Array,       # [1, Lp] shared prefix w/ image sentinel,
+                                    # right-padded; real length = prefix_valid
+        pixel_values: jax.Array,    # [1, S, S, 3]
+        prefix_valid: Optional[jax.Array] = None,  # bool [1, Lp]
+    ) -> jax.Array:
+        """Run the shared image+question prefix once, sowing per-layer
+        post-RoPE K/V into the 'kv' collection (apply with mutable=['kv'],
+        then ``extract_prefix_kv``).
+
+        TPU-first redesign of the reference's m x n VQAScore broadcast
+        (t2v_metrics score.py:43-57 repeats the image per text and re-runs
+        the FULL forward per pair, llava_model.py:289-370): the image tokens
+        and the common question prefix are text-independent, so their KV is
+        computed once per image and replayed across all n candidate texts via
+        ``suffix_logits``. Returns the expanded-length validity mask
+        [1, F = Lp - 1 + n_image] to pass as the suffix pass's prefix mask.
+        """
+        image_features = self.encode_images(pixel_values)
+        embeds = self.merge(input_ids, image_features)
+        if prefix_valid is None:
+            prefix_valid = jnp.ones_like(input_ids, bool)
+        mask = expand_like_tokens(
+            prefix_valid.astype(jnp.int32), input_ids,
+            image_features.shape[1], 1,
+        ).astype(bool)
+        self.language_model.trunk(embeds, mask, sow_kv=True)
+        return mask
+
+    def suffix_logits(
+        self,
+        suffix_ids: jax.Array,      # [n, Ls] right-padded candidate suffixes
+        prefix_kv,                  # per-layer ((k, v), ...) at batch 1
+        prefix_mask: jax.Array,     # bool [1, F] from prefill
+        suffix_mask: jax.Array,     # bool [n, Ls]
+        prefix_len: jax.Array,      # scalar — REAL (unpadded) prefix length
+    ) -> jax.Array:
+        """Candidate-text logits [n, Ls, vocab] against a cached prefix."""
+        embeds = self.language_model.embed(
+            jnp.where(suffix_ids < 0, 0, suffix_ids)
+        )
+        n, ls = suffix_ids.shape
+        positions = prefix_len + jnp.broadcast_to(
+            jnp.arange(ls)[None, :], (n, ls)
+        )
+        per_layer = tuple(
+            (k, v, prefix_mask) for k, v in prefix_kv
+        )
+        hidden = self.language_model.trunk(
+            embeds, suffix_mask, positions, prefix_kv=per_layer
+        )
         return self.language_model.logits(hidden)
 
     def embed_mixed(

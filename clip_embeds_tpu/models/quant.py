@@ -89,9 +89,16 @@ def dense(quant, features: int, use_bias: bool = True, dtype=jnp.float32,
 
 
 QUANT_LAYER_NAMES = ("in_proj", "out_proj", "c_fc", "c_proj", "fc1", "fc2")
+# Llama trunk projections (models/llama.py quant='dynamic'/'static'):
+# attention q/k/v/o + SwiGLU gate/up/down. Embeddings, RMSNorms and the
+# lm_head stay fp (the vocab matmul runs once per position; accuracy-critical)
+LLAMA_QUANT_LAYER_NAMES = (
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
+    "down_proj",
+)
 
 
-def quantize_dense_tree(params: Any) -> Any:
+def quantize_dense_tree(params: Any, layer_names=QUANT_LAYER_NAMES) -> Any:
     """Replace the Dense subtrees that QuantDense owns (attention and MLP
     projections — the compute-bound matmuls) with the QuantDense layout
     {'kernel_q', 'scale' [, 'bias']}. Embeddings, layer norms, patchify and
@@ -100,7 +107,7 @@ def quantize_dense_tree(params: Any) -> Any:
     def walk(node, name=""):
         if not isinstance(node, dict):
             return node
-        if name in QUANT_LAYER_NAMES and "kernel" in node:
+        if name in layer_names and "kernel" in node:
             q, scale = quantize_weight(np.asarray(node["kernel"]))
             out = {"kernel_q": q, "scale": scale}
             if "bias" in node:
@@ -109,6 +116,54 @@ def quantize_dense_tree(params: Any) -> Any:
         return {k: walk(v, k) for k, v in node.items()}
 
     return walk(params)
+
+
+def quantize_tree_on_device(params: Any, layer_names=QUANT_LAYER_NAMES,
+                            free_source: bool = False) -> Any:
+    """quantize_dense_tree computed ON DEVICE (per-leaf jitted abs-max
+    quantization) — for multi-GB trees that were built on device and would
+    be prohibitively slow to round-trip through the host (e.g. a 13.5 GB
+    Llama-7B over the remote-TPU tunnel). ``free_source=True`` deletes each
+    source kernel buffer right after its int8 replacement materializes, so
+    peak HBM stays ~source size + one leaf."""
+    import jax
+
+    @jax.jit
+    def qleaf(kernel):
+        k32 = kernel.astype(jnp.float32)
+        scale = jnp.abs(k32).max(axis=0) / 127.0
+        scale = jnp.where(scale == 0, 1.0, scale)
+        q = jnp.clip(jnp.round(k32 / scale), -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
+    def walk(node, name=""):
+        if not isinstance(node, dict):
+            return node
+        if name in layer_names and "kernel" in node:
+            q, scale = qleaf(node["kernel"])
+            jax.block_until_ready(q)
+            out = {"kernel_q": q, "scale": scale}
+            if "bias" in node:
+                out["bias"] = node["bias"]
+            if free_source:
+                node["kernel"].delete()
+            return out
+        return {k: walk(v, k) for k, v in node.items()}
+
+    return walk(params)
+
+
+def quantize_llava_trunk(params: Any) -> Any:
+    """Quantize ONLY the Llama trunk of a Llava param tree (vision tower,
+    projector, embeddings, norms, lm_head stay fp). Pair with
+    ``Llava(..., quant_llm='dynamic'|'static')``. The 7B trunk drops from
+    ~13.5 GB bf16 to ~6.9 GB int8 — the difference between not fitting and
+    fitting one v5e chip (16 GB HBM) alongside the vision tower and KV."""
+    out = dict(params)
+    lm = dict(params["language_model"])
+    lm["model"] = quantize_dense_tree(lm["model"], LLAMA_QUANT_LAYER_NAMES)
+    out["language_model"] = lm
+    return out
 
 
 def calibrate_act_scales(model, params: Any, batches, apply_kwargs=None) -> Any:

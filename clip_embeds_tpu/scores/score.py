@@ -20,10 +20,19 @@ PairForwardFn = Callable[[Sequence[ImageLike], Sequence[str]], np.ndarray]
 
 
 class Score:
-    """Wraps a pair-scoring function f(images, texts) -> [n] into the m x n API."""
+    """Wraps a pair-scoring function f(images, texts) -> [n] into the m x n API.
 
-    def __init__(self, pair_forward: PairForwardFn):
+    ``image_texts_forward(image, texts, **kw) -> [n]``, when provided, takes
+    the m x n broadcast instead of the pair loop — VQA scorers use it to
+    encode each image (and the shared prompt prefix) ONCE and replay the
+    cached KV across the n candidate texts, instead of the reference's
+    full re-forward per (image, text) pair (score.py:43-57).
+    """
+
+    def __init__(self, pair_forward: PairForwardFn,
+                 image_texts_forward=None):
         self.pair_forward = pair_forward
+        self.image_texts_forward = image_texts_forward
 
     def __call__(
         self,
@@ -36,6 +45,11 @@ class Score:
         if isinstance(texts, str):
             texts = [texts]
         scores = np.zeros((len(images), len(texts)), np.float32)
+        if self.image_texts_forward is not None and len(texts) > 1:
+            for i, image in enumerate(images):
+                scores[i] = self.image_texts_forward(image, list(texts),
+                                                     **kwargs)
+            return scores
         for i, image in enumerate(images):
             scores[i] = self.pair_forward([image] * len(texts), list(texts), **kwargs)
         return scores
@@ -67,7 +81,7 @@ def VQAScore(model, params, tokenize, **kw) -> Score:
     from .vqa_score import VQAScorer
 
     scorer = VQAScorer(model, params, tokenize, **kw)
-    return Score(scorer.forward)
+    return Score(scorer.forward, scorer.forward_image_texts)
 
 
 def InstructBlipVQAScore(model, params, qformer_tokenize, t5_tokenize,

@@ -45,6 +45,18 @@ LLAMA3_SYSTEM = (
 TokenizeFn = Callable[[str], List[int]]
 
 
+def _exp_neg_mean_ce(shift_logits, shift_labels):
+    """exp(-mean CE over non-IGNORE labels) per row
+    (llava_model.py:359-370)."""
+    valid = shift_labels != IGNORE_INDEX
+    safe = jnp.where(valid, shift_labels, 0)
+    logz = jax.nn.logsumexp(shift_logits, axis=-1)
+    picked = jnp.take_along_axis(shift_logits, safe[..., None], axis=-1)[..., 0]
+    ce = (logz - picked) * valid
+    mean_ce = ce.sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1)
+    return jnp.exp(-mean_ce)
+
+
 def format_question(question: str, style: str = "chat") -> str:
     """llava_model.py:17-42 conversation formats incl. the paper-added
     phi3_instruct / llama3 styles (llava-phi-3, llava-llama-3)."""
@@ -135,6 +147,7 @@ class VQAScorer:
         context_len: int = 2048,
         batch_size: int = 8,
         pad_to_multiple: int = 64,
+        suffix_pad_to_multiple: int = 16,
     ):
         self.model = model
         # commit params to device once — host arrays would re-upload
@@ -147,6 +160,7 @@ class VQAScorer:
         self.context_len = context_len
         self.batch_size = batch_size
         self.pad_to_multiple = pad_to_multiple
+        self.suffix_pad_to_multiple = suffix_pad_to_multiple
         self.image_size = model.cfg.vision.image_size
 
         import functools
@@ -164,17 +178,35 @@ class VQAScorer:
             )
             shift_logits = logits[:, :-1].astype(jnp.float32)
             shift_labels = full_labels[:, 1:]
-            valid = shift_labels != IGNORE_INDEX
-            safe = jnp.where(valid, shift_labels, 0)
-            logz = jax.nn.logsumexp(shift_logits, axis=-1)
-            picked = jnp.take_along_axis(
-                shift_logits, safe[..., None], axis=-1
-            )[..., 0]
-            ce = (logz - picked) * valid
-            mean_ce = ce.sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1)
-            return jnp.exp(-mean_ce)
+            return _exp_neg_mean_ce(shift_logits, shift_labels)
 
         self._scores = _scores
+
+        from ..models.llava import extract_prefix_kv
+
+        @jax.jit
+        def _prefill(params, prefix_ids, pixels, prefix_valid):
+            mask, mut = model.apply(
+                {"params": params}, prefix_ids, pixels, prefix_valid,
+                method="prefill", mutable=["kv"],
+            )
+            kv = extract_prefix_kv(mut["kv"], model.cfg.llama.num_layers)
+            return kv, mask
+
+        self._prefill = _prefill
+
+        @jax.jit
+        def _suffix_scores(params, suffix_ids, suffix_mask, labels, kv,
+                           pmask, prefix_len):
+            logits = model.apply(
+                {"params": params}, suffix_ids, kv, pmask, suffix_mask,
+                prefix_len, method="suffix_logits",
+            )
+            shift_logits = logits[:, :-1].astype(jnp.float32)
+            shift_labels = labels[:, 1:]
+            return _exp_neg_mean_ce(shift_logits, shift_labels)
+
+        self._suffix_scores = _suffix_scores
 
     def _prepare(self, image: ImageLike, text: str, q_tpl: str, a_tpl: str):
         question = format_question(q_tpl.format(text), self.style)
@@ -208,6 +240,89 @@ class VQAScorer:
             chunk = prepared[start : start + self.batch_size]
             imgs = images[start : start + self.batch_size]
             out[start : start + len(chunk)] = self._forward_chunk(chunk, imgs)
+        return out
+
+    def forward_image_texts(
+        self,
+        image: ImageLike,
+        texts: Sequence[str],
+        question_template: str = DEFAULT_QUESTION_TEMPLATE,
+        answer_template: str = DEFAULT_ANSWER_TEMPLATE,
+    ) -> np.ndarray:
+        """Score ONE image against n texts with image-KV-prefix reuse.
+
+        The reference broadcasts m x n by repeating the image per text and
+        re-running the full 7B forward per pair (score.py:43-57) — but the
+        image block (576 tokens) plus the common question prefix is
+        text-independent. Here the shared prefix prefills the trunk once
+        (``Llava.prefill``), its per-layer KV is cached, and the n candidate
+        suffixes (~10-30 tokens each) run batched against the broadcast
+        prefix KV (``Llava.suffix_logits``). Exactness vs the pair path is
+        tested (tests/test_vqa_prefix.py); ideal speedup ~n x on the prefix
+        FLOPs.
+        """
+        texts = list(texts)
+        n = len(texts)
+        prepared = [
+            self._prepare(image, t, question_template, answer_template)
+            for t in texts
+        ]
+        rows = [ids for ids, _ in prepared]
+        # longest common token prefix across candidates
+        lcp = len(rows[0])
+        for r in rows[1:]:
+            m = min(lcp, len(r))
+            i = 0
+            while i < m and r[i] == rows[0][i]:
+                i += 1
+            lcp = i
+        first_label = min(
+            next(i for i, l in enumerate(lab) if l != IGNORE_INDEX)
+            for _, lab in prepared
+        )
+        # the first suffix token's predictor must live in the suffix
+        prefix_len = min(lcp, first_label - 1)
+        sentinel = rows[0].index(IMAGE_TOKEN_INDEX) \
+            if IMAGE_TOKEN_INDEX in rows[0] else -1
+        if n < 2 or prefix_len < 8 or not (0 <= sentinel < prefix_len):
+            return self.forward([image] * n, texts, question_template,
+                                answer_template)
+
+        mpre = self.pad_to_multiple
+        lp_pad = ((prefix_len + mpre - 1) // mpre) * mpre
+        prefix_ids = np.full((1, lp_pad), self.pad_token_id, np.int32)
+        prefix_ids[0, :prefix_len] = rows[0][:prefix_len]
+        # padded slots must not alias the sentinel
+        prefix_valid = np.zeros((1, lp_pad), bool)
+        prefix_valid[0, :prefix_len] = True
+        pixels = preprocess_batch([image], self.image_size, "llava")
+        kv, pmask = self._prefill(
+            self.params, jnp.asarray(prefix_ids), jnp.asarray(pixels),
+            jnp.asarray(prefix_valid),
+        )
+        n_image = self.model.cfg.n_image_tokens
+        real_f = jnp.asarray(prefix_len - 1 + n_image, jnp.int32)
+
+        ms = self.suffix_pad_to_multiple
+        out = np.zeros((n,), np.float32)
+        for s in range(0, n, self.batch_size):
+            chunk = prepared[s : s + self.batch_size]
+            b = len(chunk)
+            ls = max(len(ids) - prefix_len for ids, _ in chunk)
+            ls = ((ls + ms - 1) // ms) * ms
+            suffix_ids = np.full((b, ls), self.pad_token_id, np.int32)
+            labels = np.full((b, ls), IGNORE_INDEX, np.int32)
+            suffix_mask = np.zeros((b, ls), bool)
+            for i, (ids, lab) in enumerate(chunk):
+                tail = ids[prefix_len:]
+                suffix_ids[i, : len(tail)] = tail
+                labels[i, : len(tail)] = lab[prefix_len:]
+                suffix_mask[i, : len(tail)] = True
+            out[s : s + b] = np.asarray(self._suffix_scores(
+                self.params, jnp.asarray(suffix_ids),
+                jnp.asarray(suffix_mask), jnp.asarray(labels), kv, pmask,
+                real_f,
+            ))
         return out
 
     def _forward_chunk(self, prepared, images) -> np.ndarray:

@@ -1,0 +1,186 @@
+"""VQAScore image-KV-prefix reuse: exactness vs the per-pair full forward.
+
+The reference broadcasts m x n by re-running the full VLM forward per
+(image, text) pair (t2v_metrics score.py:43-57, llava_model.py:289-370). The
+TPU redesign prefills the shared image+question prefix once per image
+(models/llava.py Llava.prefill) and replays its KV across the n candidate
+suffixes (Llava.suffix_logits). These tests pin the redesign to the pair
+path bit-for-bit (same fp32 reference attention, same reductions) and cover
+the int8 trunk route (models/quant.py quantize_llava_trunk).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_embeds_tpu.core.config import VisionConfig
+from clip_embeds_tpu.models.llama import LlamaConfig
+from clip_embeds_tpu.models.llava import (
+    IMAGE_TOKEN_INDEX,
+    Llava,
+    LlavaConfig,
+    extract_prefix_kv,
+)
+
+
+def tiny_cfg():
+    return LlavaConfig(
+        llama=LlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, max_position_embeddings=256,
+        ),
+        vision=VisionConfig(image_size=32, patch_size=16, width=64, layers=2,
+                            head_width=32),
+    )
+
+
+def toy_tokenize(text):
+    # deterministic word tokenizer with BOS=1 (stable across processes,
+    # unlike hash())
+    return [1] + [2 + (sum(map(ord, w)) % 200) for w in text.split()]
+
+
+@pytest.fixture(scope="module")
+def tiny_llava():
+    cfg = tiny_cfg()
+    model = Llava(cfg, attn_impl="reference")
+    rng = np.random.default_rng(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray([[1, IMAGE_TOKEN_INDEX, 5, 6]], jnp.int32),
+        jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32),
+    )["params"]
+    return model, params
+
+
+def _scorer(model, params, **kw):
+    from clip_embeds_tpu.scores.vqa_score import VQAScorer
+
+    kw.setdefault("batch_size", 2)
+    kw.setdefault("pad_to_multiple", 8)
+    kw.setdefault("suffix_pad_to_multiple", 4)
+    return VQAScorer(model, params, toy_tokenize, bos_token_id=1,
+                     pad_token_id=0, **kw)
+
+
+def _image(seed=1):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    return Image.fromarray(rng.integers(0, 255, (40, 30, 3), dtype=np.uint8))
+
+
+def test_prefix_reuse_matches_pair_path(tiny_llava):
+    model, params = tiny_llava
+    scorer = _scorer(model, params)
+    img = _image()
+    texts = ["a cat on a mat", "a dog", "three green apples on a table"]
+    fast = scorer.forward_image_texts(img, texts)
+    slow = scorer.forward([img] * len(texts), texts)
+    assert fast.shape == (3,)
+    np.testing.assert_allclose(fast, slow, rtol=2e-5, atol=2e-5)
+
+
+def test_prefix_reuse_suffix_chunking(tiny_llava):
+    """n > batch_size exercises the per-chunk suffix loop over one prefill."""
+    model, params = tiny_llava
+    scorer = _scorer(model, params, batch_size=2)
+    img = _image(2)
+    texts = [f"object number {i}" for i in range(5)]
+    fast = scorer.forward_image_texts(img, texts)
+    slow = scorer.forward([img] * len(texts), texts)
+    np.testing.assert_allclose(fast, slow, rtol=2e-5, atol=2e-5)
+
+
+def test_single_text_falls_back(tiny_llava):
+    model, params = tiny_llava
+    scorer = _scorer(model, params)
+    img = _image(3)
+    fast = scorer.forward_image_texts(img, ["a cat"])
+    slow = scorer.forward([img], ["a cat"])
+    np.testing.assert_allclose(fast, slow, rtol=1e-6)
+
+
+def test_score_api_uses_grouped_path(tiny_llava):
+    from clip_embeds_tpu.scores.score import VQAScore
+
+    model, params = tiny_llava
+    score = VQAScore(model, params, toy_tokenize, bos_token_id=1,
+                     pad_token_id=0, batch_size=2, pad_to_multiple=8,
+                     suffix_pad_to_multiple=4)
+    assert score.image_texts_forward is not None
+    imgs = [_image(4), _image(5)]
+    texts = ["a cat", "a dog and a cat"]
+    grouped = score(imgs, texts)
+    pairwise = np.stack([
+        score.pair_forward([im] * 2, texts) for im in imgs
+    ])
+    assert grouped.shape == (2, 2)
+    np.testing.assert_allclose(grouped, pairwise, rtol=2e-5, atol=2e-5)
+
+
+def test_prefill_suffix_logits_match_full_forward(tiny_llava):
+    """Plumbing-level exactness incl. padded prefix slots: full-forward
+    logits at the suffix positions == suffix_logits over the cached KV."""
+    model, params = tiny_llava
+    cfg = model.cfg
+    rng = np.random.default_rng(7)
+    pixels = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+
+    prefix_tokens = [1, 9, IMAGE_TOKEN_INDEX, 17, 23]       # real prefix
+    suffixes = [[40, 41, 42], [50, 51, 0]]                   # row 1 padded
+    suffix_mask = np.asarray([[1, 1, 1], [1, 1, 0]], bool)
+
+    # full forward per row
+    n_image = cfg.n_image_tokens
+    full_rows = []
+    for sfx, m in zip(suffixes, suffix_mask):
+        ids = jnp.asarray([prefix_tokens + list(sfx)], jnp.int32)
+        am = jnp.asarray(
+            [[True] * len(prefix_tokens) + list(m)], bool)
+        logits = model.apply({"params": params}, ids, pixels, am)
+        full_rows.append(np.asarray(
+            logits[0, len(prefix_tokens) - 1 + n_image:]))
+    expected = np.stack(full_rows)
+
+    # prefill (with right padding) + suffix
+    lp_pad = 8
+    prefix_ids = np.zeros((1, lp_pad), np.int32)
+    prefix_ids[0, : len(prefix_tokens)] = prefix_tokens
+    prefix_valid = np.zeros((1, lp_pad), bool)
+    prefix_valid[0, : len(prefix_tokens)] = True
+    pmask, mut = model.apply(
+        {"params": params}, jnp.asarray(prefix_ids), pixels,
+        jnp.asarray(prefix_valid), method="prefill", mutable=["kv"],
+    )
+    kv = extract_prefix_kv(mut["kv"], cfg.llama.num_layers)
+    real_f = len(prefix_tokens) - 1 + n_image
+    got = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(suffixes, jnp.int32), kv,
+        pmask, jnp.asarray(suffix_mask),
+        jnp.asarray(real_f, jnp.int32), method="suffix_logits",
+    ))
+    # padded row tail is masked garbage — compare valid positions only
+    np.testing.assert_allclose(got[0], expected[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got[1, :2], expected[1, :2], rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_int8_trunk_scores_close(tiny_llava):
+    from clip_embeds_tpu.models.quant import quantize_llava_trunk
+
+    model, params = tiny_llava
+    qmodel = Llava(tiny_cfg(), attn_impl="reference", quant_llm="dynamic")
+    qparams = quantize_llava_trunk(jax.device_get(params))
+    img = _image(6)
+    texts = ["a cat on a mat", "a dog"]
+    fp = _scorer(model, params).forward_image_texts(img, texts)
+    q = _scorer(qmodel, qparams).forward_image_texts(img, texts)
+    assert q.shape == fp.shape
+    assert np.all(np.abs(q - fp) < 0.15), (q, fp)
+    # int8 params really are int8
+    leaf = qparams["language_model"]["model"]["layers_0"]["self_attn"][
+        "q_proj"]["kernel_q"]
+    assert leaf.dtype == np.int8
