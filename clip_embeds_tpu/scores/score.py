@@ -59,11 +59,22 @@ class Score:
     def batch_forward(
         self, dataset: List[ImageTextDict], batch_size: int = 16, **kwargs
     ) -> np.ndarray:
-        """[N, n_images_per_sample, n_texts_per_sample] (score.py:59-92)."""
+        """[N, n_images_per_sample, n_texts_per_sample] (score.py:59-92).
+
+        With a grouped scorer, each (sample, image) row scores its sample's
+        n texts against ONE image encode + prefix prefill (Winoground-style
+        2x2 datasets re-encode nothing per text)."""
         n = len(dataset)
         n_images = len(dataset[0]["images"])
         n_texts = len(dataset[0]["texts"])
         out = np.zeros((n, n_images, n_texts), np.float32)
+        if self.image_texts_forward is not None and n_texts > 1:
+            for si, sample in enumerate(dataset):
+                for ii in range(n_images):
+                    out[si, ii] = self.image_texts_forward(
+                        sample["images"][ii], list(sample["texts"]), **kwargs
+                    )
+            return out
         for start in range(0, n, batch_size):
             chunk = dataset[start : start + batch_size]
             for ii in range(n_images):

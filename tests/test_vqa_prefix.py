@@ -121,6 +121,27 @@ def test_score_api_uses_grouped_path(tiny_llava):
     np.testing.assert_allclose(grouped, pairwise, rtol=2e-5, atol=2e-5)
 
 
+def test_batch_forward_uses_grouped_path(tiny_llava):
+    from clip_embeds_tpu.scores.score import VQAScore
+
+    model, params = tiny_llava
+    score = VQAScore(model, params, toy_tokenize, bos_token_id=1,
+                     pad_token_id=0, batch_size=2, pad_to_multiple=8,
+                     suffix_pad_to_multiple=4)
+    dataset = [
+        {"images": [_image(10), _image(11)], "texts": ["a cat", "a dog"]},
+        {"images": [_image(12), _image(13)], "texts": ["one", "two fish"]},
+    ]
+    grouped = score.batch_forward(dataset)
+    assert grouped.shape == (2, 2, 2)
+    # pin against the pair path element-wise
+    for si, s in enumerate(dataset):
+        for ii in range(2):
+            want = score.pair_forward([s["images"][ii]] * 2, s["texts"])
+            np.testing.assert_allclose(grouped[si, ii], want, rtol=2e-5,
+                                       atol=2e-5)
+
+
 def test_prefill_suffix_logits_match_full_forward(tiny_llava):
     """Plumbing-level exactness incl. padded prefix slots: full-forward
     logits at the suffix positions == suffix_logits over the cached KV."""
