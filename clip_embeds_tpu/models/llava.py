@@ -217,7 +217,11 @@ class Llava(nn.Module):
             prefix_valid.astype(jnp.int32), input_ids,
             image_features.shape[1], 1,
         ).astype(bool)
-        self.language_model.trunk(embeds, mask, sow_kv=True)
+        # no attention mask: the padding is strictly trailing, so causal
+        # attention already keeps real positions pad-free — and a mask-free
+        # prefill takes the flash-attention path on TPU. Pad positions sow
+        # garbage KV; the suffix pass masks them via the returned mask.
+        self.language_model.trunk(embeds, None, sow_kv=True)
         return mask
 
     def suffix_logits(
