@@ -96,6 +96,13 @@ def parse_args(argv=None):
                         "(ops/fused_block_ad.py): ~2x faster forward at the "
                         "memory profile of full remat. TPU-only; shapes "
                         "must fit the fused kernel (ViT-L class)")
+    p.add_argument("--fused-train-backward", default="vjp",
+                   choices=["residual", "vjp"],
+                   help="with --fused-train-blocks: 'residual' re-runs the "
+                        "fused kernel in the backward and reads its saved "
+                        "intermediates (fused_block_ad bwd_impl='residual'); "
+                        "'vjp' recomputes the composable forward (round-3 "
+                        "behavior)")
     p.add_argument("--grad-checkpointing-policy", default="full",
                    choices=["full", "dots", "attn"],
                    help="'dots' keeps matmul outputs resident "
@@ -327,7 +334,9 @@ def main(argv=None):
         else:
             # the custom VJP already stores only (x, params) per block —
             # remat on top would only re-wrap the same recompute
-            block_impl = "fused-train"
+            block_impl = ("fused-train-res"
+                          if args.fused_train_backward == "residual"
+                          else "fused-train")
             remat = False
     model, params = create_model(
         args.model, args.pretrained, dtype=dtype,

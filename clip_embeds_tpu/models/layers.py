@@ -210,6 +210,7 @@ class FusedTrainBlock(nn.Module):
     ln_eps: float = 1e-5
     act: Optional[str] = None        # override: 'quick' | 'erf' | 'tanh'
     interpret: bool = False          # pallas interpret mode (tests/CPU)
+    bwd_impl: str = "vjp"            # 'vjp' | 'residual' (fused_block_ad)
 
     @nn.compact
     def __call__(
@@ -231,6 +232,7 @@ class FusedTrainBlock(nn.Module):
         act = self.act or ("quick" if self.quick_gelu else "erf")
         fn = make_fused_block_ad(
             self.heads, act, self.ln_eps, causal, self.interpret,
+            self.bwd_impl,
         )
         return fn(x.astype(self.dtype), p)
 
@@ -255,6 +257,8 @@ class Transformer(nn.Module):
     ln_eps: float = 1e-5
     # 'composable' (flax blocks) | 'fused-train' (fused kernel forward +
     # custom-VJP composable backward; subsumes remat — see FusedTrainBlock)
+    # | 'fused-train-res' (fused forward AND fused-kernel backward
+    # recompute via residual outputs — fused_block_ad bwd_impl='residual')
     block_impl: str = "composable"
 
     @nn.compact
@@ -265,12 +269,13 @@ class Transformer(nn.Module):
         mask: Optional[jax.Array] = None,
         num_blocks: Optional[int] = None,
     ) -> jax.Array:
-        if self.block_impl == "fused-train":
+        if self.block_impl in ("fused-train", "fused-train-res"):
+            bwd = "residual" if self.block_impl.endswith("-res") else "vjp"
             n = self.layers if num_blocks is None else num_blocks
             for i in range(n):
                 x = FusedTrainBlock(
                     self.width, self.heads, self.mlp_ratio, self.quick_gelu,
-                    dtype=self.dtype, ln_eps=self.ln_eps,
+                    dtype=self.dtype, ln_eps=self.ln_eps, bwd_impl=bwd,
                     name=f"resblocks_{i}",
                 )(x, causal, mask)
             return x

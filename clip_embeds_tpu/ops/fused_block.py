@@ -247,6 +247,139 @@ def fused_block(
     )(x, *weights)
 
 
+def _kernel_res(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, w1_ref, b1_ref, w2_ref,
+    b2_ref, g1_ref, g2_ref, brow_ref, o_ref, qkv_ref, att_ref, m1_ref,
+    xmid_ref, *,
+    rows: int, heads: int, scale: float, n_kv: int, kv_valid: int,
+    act: str, ln_eps: float, causal: bool,
+):
+    """_kernel that also WRITES the matmul-expensive intermediates
+    (qkv, attention output, pre-activation MLP hidden, post-attention
+    residual) so a backward pass can consume them without re-running the
+    composable forward. Everything else (LNs, activation, attention probs)
+    is cheap to recompute outside."""
+    for r in range(rows):
+        x = x_ref[r]
+
+        h = _ln(x, g1_ref[0, 0], g1_ref[0, 1], ln_eps)
+        qkv = (_dot(h, wqkv_ref[...])
+               + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
+        qkv_ref[r] = qkv
+        att = _attention(qkv, brow_ref[0:1, 0, :], heads, scale, n_kv,
+                         kv_valid, causal, x.dtype)
+        att_ref[r] = att
+
+        x = x + (_dot(att, wo_ref[...])
+                 + bo_ref[0].astype(jnp.float32)).astype(x.dtype)
+        xmid_ref[r] = x
+
+        h = _ln(x, g2_ref[0, 0], g2_ref[0, 1], ln_eps)
+        m1 = _dot(h, w1_ref[...]) + b1_ref[0].astype(jnp.float32)
+        m1_ref[r] = m1.astype(x.dtype)
+        m1 = _apply_act(m1, act).astype(x.dtype)
+        x = x + (_dot(m1, w2_ref[...])
+                 + b2_ref[0].astype(jnp.float32)).astype(x.dtype)
+        o_ref[r] = x
+
+
+def fused_block_residuals(
+    x: jax.Array,
+    wqkv: jax.Array,
+    bqkv: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    ln1: jax.Array,
+    ln2: jax.Array,
+    heads: int,
+    kv_valid: int,
+    quick_gelu: bool = False,
+    ln_eps: float = 1e-5,
+    causal: bool = False,
+    n_kv: Optional[int] = None,
+    act: Optional[str] = None,
+    interpret: bool = False,
+):
+    """fused_block variant returning (y, qkv, att, m1_preact, x_mid).
+
+    Used by the residual-backward training path (fused_block_ad
+    bwd_impl='residual'): the backward recompute runs at fused-kernel speed
+    and hands the backward its matmul inputs directly, instead of re-running
+    the composable forward. Extra VMEM for the residual output tiles caps
+    rows at 2 for ViT-L shapes (vs 4 in the serving kernel)."""
+    act = act or ("quick" if quick_gelu else "erf")
+    b, n, d = x.shape
+    mlp = w1.shape[1]
+    dt = x.dtype
+    n_kv = n_kv or (_round_up(n, 8) if interpret else _round_up(n, 128))
+    res_bytes = n * (3 * d + d + mlp + d) * 2       # residual output tiles
+    per_row = (n * 3 * d * 2 + n * n_kv * 4 + n * mlp * 4 + 4 * n * d * 2
+               + res_bytes)
+    weight_bytes = (4 * d * d + 2 * d * mlp) * 2
+    rows = 1 if interpret else _pick_rows(b, weight_bytes, per_row)
+
+    def const(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    weights = [
+        wqkv.astype(dt), bqkv.astype(dt).reshape(1, -1),
+        wo.astype(dt), bo.astype(dt).reshape(1, -1),
+        w1.astype(dt), b1.astype(dt).reshape(1, -1),
+        w2.astype(dt), b2.astype(dt).reshape(1, -1),
+        ln1.astype(dt).reshape(1, 2, d), ln2.astype(dt).reshape(1, 2, d),
+        _key_bias_row(n_kv, kv_valid),
+    ]
+    specs = [
+        const((d, 3 * d)), const((1, 3 * d)),
+        const((d, d)), const((1, d)),
+        const((d, mlp)), const((1, mlp)),
+        const((mlp, d)), const((1, d)),
+        const((1, 2, d)), const((1, 2, d)),
+        const((1, 1, n_kv)),
+    ]
+
+    def row_spec(width):
+        return pl.BlockSpec((rows, n, width), lambda bi: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    vmem = min(
+        int(118 * 1024 * 1024),
+        int(1.8 * (sum(w.size * 2 for w in weights) + rows * per_row)),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_res, rows=rows, heads=heads, scale=(d // heads) ** -0.5,
+            n_kv=n_kv, kv_valid=kv_valid, act=act,
+            ln_eps=ln_eps, causal=causal,
+        ),
+        grid=(b // rows,),
+        in_specs=[row_spec(d)] + specs,
+        out_specs=[row_spec(d), row_spec(3 * d), row_spec(d),
+                   row_spec(mlp), row_spec(d)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), dt),
+            jax.ShapeDtypeStruct((b, n, 3 * d), dt),
+            jax.ShapeDtypeStruct((b, n, d), dt),
+            jax.ShapeDtypeStruct((b, n, mlp), dt),
+            jax.ShapeDtypeStruct((b, n, d), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (3 * d * d + d * d + 2 * d * mlp)
+            + 4 * b * heads * n * n_kv * (d // heads),
+            bytes_accessed=b * n * (7 * d + mlp + 3 * d) * 2,
+            transcendentals=b * heads * n * n_kv + b * n * mlp,
+        ),
+        interpret=interpret,
+    )(x, *weights)
+
+
 def fused_block_supported(n: int, d: int, heads: int, mlp_ratio: float) -> bool:
     """Shapes the kernel handles well: 16-aligned seq, lane-aligned head
     dim, and a VMEM footprint that fits (ViT-L/H-class blocks)."""

@@ -130,3 +130,98 @@ def test_transformer_fused_train_param_tree_matches():
     }
     assert shapes_c == shapes_f
     assert fused  # constructed fine
+
+
+# -- round 4: residual backward (fused-kernel recompute) ----------------------
+
+
+def _setup_res(quick=False, causal=False, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32)) * 0.5
+    ref = ResidualAttentionBlock(D, H, quick_gelu=quick,
+                                 attn_impl="reference")
+    params = ref.init(jax.random.PRNGKey(seed), x, causal=causal)["params"]
+    res = FusedTrainBlock(D, H, quick_gelu=quick, interpret=True,
+                          bwd_impl="residual")
+    vjp = FusedTrainBlock(D, H, quick_gelu=quick, interpret=True)
+    return x, ref, res, vjp, params
+
+
+@pytest.mark.parametrize("quick,causal", [(False, False), (True, False),
+                                          (False, True)])
+def test_residual_backward_matches_vjp_backward(quick, causal):
+    """bwd_impl='residual' (fused-kernel recompute + manual matmul grads +
+    jax.vjp'd elementwise pieces) must produce the same gradients as the
+    round-3 jax.vjp(block_reference) backward — same formulas, the
+    intermediates now come from the kernel."""
+    x, ref, res, vjp, params = _setup_res(quick, causal)
+
+    def loss(mod):
+        def f(p, x):
+            y = mod.apply({"params": p}, x, causal=causal)
+            return jnp.sum(jnp.sin(y))
+        return f
+
+    g_v_p, g_v_x = jax.grad(loss(vjp), argnums=(0, 1))(params, x)
+    g_r_p, g_r_x = jax.grad(loss(res), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(g_r_x), np.asarray(g_v_x),
+                               rtol=2e-4, atol=2e-5)
+    _assert_tree_close(g_r_p, g_v_p, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("quick,causal", [(False, False), (False, True)])
+def test_residual_backward_matches_composable(quick, causal):
+    x, ref, res, _, params = _setup_res(quick, causal)
+
+    def loss_ref(p, x):
+        y = ref.apply({"params": p}, x, causal=causal)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_res(p, x):
+        y = res.apply({"params": p}, x, causal=causal)
+        return jnp.sum(jnp.sin(y))
+
+    g_ref_p, g_ref_x = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    g_r_p, g_r_x = jax.grad(loss_res, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(g_r_x), np.asarray(g_ref_x),
+                               rtol=2e-4, atol=2e-5)
+    _assert_tree_close(g_r_p, g_ref_p, rtol=2e-4, atol=2e-5)
+
+
+def test_residual_kernel_intermediates_shapes():
+    from clip_embeds_tpu.ops.fused_block import fused_block_residuals
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, 16, D)).astype(np.float32))
+    p = ResidualAttentionBlock(D, H, attn_impl="reference").init(
+        jax.random.PRNGKey(0), x)["params"]
+    y, qkv, att, m1, x_mid = fused_block_residuals(
+        x,
+        p["attn"]["in_proj"]["kernel"], p["attn"]["in_proj"]["bias"],
+        p["attn"]["out_proj"]["kernel"], p["attn"]["out_proj"]["bias"],
+        p["mlp"]["c_fc"]["kernel"], p["mlp"]["c_fc"]["bias"],
+        p["mlp"]["c_proj"]["kernel"], p["mlp"]["c_proj"]["bias"],
+        jnp.stack([p["ln_1"]["scale"], p["ln_1"]["bias"]]),
+        jnp.stack([p["ln_2"]["scale"], p["ln_2"]["bias"]]),
+        heads=H, kv_valid=16, interpret=True,
+    )
+    assert y.shape == (B, 16, D)
+    assert qkv.shape == (B, 16, 3 * D)
+    assert att.shape == (B, 16, D)
+    assert m1.shape == (B, 16, 4 * D)
+    assert x_mid.shape == (B, 16, D)
+    # y must equal the plain fused_block output
+    from clip_embeds_tpu.ops.fused_block import fused_block
+
+    y2 = fused_block(
+        x,
+        p["attn"]["in_proj"]["kernel"], p["attn"]["in_proj"]["bias"],
+        p["attn"]["out_proj"]["kernel"], p["attn"]["out_proj"]["bias"],
+        p["mlp"]["c_fc"]["kernel"], p["mlp"]["c_fc"]["bias"],
+        p["mlp"]["c_proj"]["kernel"], p["mlp"]["c_proj"]["bias"],
+        jnp.stack([p["ln_1"]["scale"], p["ln_1"]["bias"]]),
+        jnp.stack([p["ln_2"]["scale"], p["ln_2"]["bias"]]),
+        heads=H, kv_valid=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-6,
+                               atol=1e-6)
