@@ -214,6 +214,39 @@ def grayscale3(img: Image.Image) -> Image.Image:
     return img.convert("L").convert("RGB")
 
 
+def random_erasing(
+    arr: np.ndarray,
+    rng: np.random.Generator,
+    probability: float,
+    count: int = 1,
+    min_area: float = 0.02,
+    max_area: float = 1.0 / 3,
+    log_aspect: Tuple[float, float] = (math.log(0.3), math.log(10 / 3)),
+) -> np.ndarray:
+    """timm RandomErasing (mode='pixel'): erase up to ``count`` rectangles
+    of the NORMALIZED image with per-pixel N(0,1) noise. Applied after
+    normalize, like timm's transform order."""
+    if probability <= 0 or rng.uniform() >= probability:
+        return arr
+    h, w, c = arr.shape
+    area = h * w
+    out = arr
+    for _ in range(count):
+        for _ in range(10):
+            target = area * rng.uniform(min_area, max_area) / count
+            aspect = math.exp(rng.uniform(*log_aspect))
+            eh = int(round(math.sqrt(target * aspect)))
+            ew = int(round(math.sqrt(target / aspect)))
+            if eh < h and ew < w:
+                top = int(rng.integers(0, h - eh))
+                left = int(rng.integers(0, w - ew))
+                out = out.copy() if out is arr else out
+                out[top : top + eh, left : left + ew] = rng.standard_normal(
+                    (eh, ew, c)).astype(arr.dtype)
+                break
+    return out
+
+
 TransformFn = Callable[..., np.ndarray]
 
 
@@ -253,12 +286,32 @@ def image_transform(
 
     if is_train:
         if aug.use_timm:
-            raise NotImplementedError(
-                "aug_cfg use_timm=True (timm create_transform / AugMix / "
-                "random-erase) is not implemented; use the native "
-                "scale/color_jitter/gray_scale augmentations "
-                "(transform.py:305-323 timm branch)"
-            )
+            # the reachable subset of timm create_transform
+            # (transform.py:305-323): AugmentationCfg has no auto_augment
+            # field, so the timm branch reduces to RRC + always-on
+            # ColorJitter(f -> (f,f,f)) + normalize + RandomErasing(re_prob,
+            # re_count, mode='pixel'); hflip=0 in the reference call.
+            scale = tuple(aug.scale)
+            ratio = tuple(aug.ratio) if aug.ratio else (3 / 4, 4 / 3)
+            cj = aug.color_jitter
+            if isinstance(cj, (int, float)):
+                cj = (float(cj),) * 3
+            out_size = size if isinstance(size, int) else size[0]
+
+            def timm_fn(image: ImageLike,
+                        rng: np.random.Generator) -> np.ndarray:
+                img = _to_pil(image)
+                img = random_resized_crop(img, rng, out_size, scale, ratio,
+                                          interpolation)
+                if cj:
+                    img = color_jitter_image(img, rng, *cj[:3])
+                arr = _normalize(np.asarray(img), mean, std)
+                if aug.re_prob:
+                    arr = random_erasing(arr, rng, aug.re_prob,
+                                         aug.re_count or 1)
+                return arr
+
+            return timm_fn
         if aug.color_jitter_prob:
             cj = aug.color_jitter
             assert isinstance(cj, (tuple, list)) and len(cj) == 4, (

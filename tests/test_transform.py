@@ -228,9 +228,41 @@ def test_train_transform_aug_cfg_dict_and_gray():
     np.testing.assert_allclose(u8[..., 0], u8[..., 1], atol=1e-6)
 
 
-def test_train_transform_use_timm_raises():
-    with pytest.raises(NotImplementedError):
-        image_transform(64, is_train=True, aug_cfg={"use_timm": True})
+def test_train_transform_use_timm_subset():
+    """use_timm branch (reachable subset: RRC + always-on ColorJitter +
+    RandomErasing — AugmentationCfg has no auto_augment field, so this IS
+    the full reachable timm config surface, transform.py:305-323)."""
+    fn = image_transform(
+        48, is_train=True,
+        aug_cfg={"use_timm": True, "scale": (0.8, 1.0),
+                 "color_jitter": 0.4, "re_prob": 1.0, "re_count": 2},
+    )
+    a = fn(_img(), sample_rng(0, 0, 1))
+    b = fn(_img(), sample_rng(0, 0, 1))
+    assert a.shape == (48, 48, 3)
+    np.testing.assert_array_equal(a, b)
+    # re_prob=1: at least one erased rectangle of N(0,1) noise exists ->
+    # some pixels sit far outside the normalized-image value range
+    plain = image_transform(
+        48, is_train=True,
+        aug_cfg={"use_timm": True, "scale": (0.8, 1.0),
+                 "color_jitter": 0.4},
+    )(_img(), sample_rng(0, 0, 1))
+    assert not np.array_equal(a, plain)
+
+
+def test_random_erasing_geometry():
+    from clip_embeds_tpu.image.transform import random_erasing
+
+    arr = np.zeros((64, 64, 3), np.float32)
+    out = random_erasing(arr, np.random.default_rng(0), probability=1.0)
+    changed = np.abs(out).sum(-1) > 0
+    assert changed.any()
+    frac = changed.mean()
+    assert 0.01 < frac < 0.4  # area in [0.02, 1/3] up to rounding
+    assert (arr == 0).all()   # input untouched (copy-on-write)
+    out2 = random_erasing(arr, np.random.default_rng(1), probability=0.0)
+    assert out2 is arr
 
 
 def test_aug_cfg_color_jitter_prob_requires_4tuple():
