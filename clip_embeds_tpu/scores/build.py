@@ -295,7 +295,17 @@ def build_score_model(
         from .score import VQAScore
 
         cfg = model_cfg(LlavaConfig)
-        model = Llava(cfg, dtype=dtype)
+        quant = kw.pop("quant", None)
+        if quant:
+            # W8A8 trunk: ~6.9 GB instead of 13.5 GB for the 7B — the
+            # difference between fitting and not fitting one v5e chip
+            # (models/quant.py quantize_llava_trunk; bench.py vqa leg)
+            from ..models.quant import quantize_llava_trunk
+
+            model = Llava(cfg, dtype=dtype, quant_llm="dynamic")
+            params = quantize_llava_trunk(params)
+        else:
+            model = Llava(cfg, dtype=dtype)
         tok, hf = need_tokenize(tokenize)
         if hf is not None:
             kw.setdefault("bos_token_id", hf.bos_token_id)
