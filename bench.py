@@ -627,7 +627,9 @@ def _bench_vqa(jax, jnp, np):
         ts = _t.perf_counter() - t0
         t0 = _t.perf_counter(); float(loop(p, jnp.asarray(1e-6), iters))
         tl = _t.perf_counter() - t0
-        return max(tl - ts, 1e-9) / (iters - 1)  # seconds per iteration
+        # floor at 10% of the long run per iteration: under host-timing
+        # noise (shared-CPU smoke runs) the difference can collapse to ~0
+        return max(tl - ts, 0.1 * tl) / (iters - 1)
 
     def make_legs(model):
         """(scores_loop, prefill_loop, pair_loop, scores_once) for a model."""
@@ -705,20 +707,27 @@ def _bench_vqa(jax, jnp, np):
         t_kv = timed_loop(kv_loop, params)
         _progress("vqa bf16: prefill-only path")
         t_prefill = timed_loop(prefill_loop, params)
-        _progress("vqa bf16: reference-shaped pair path")
-        t_pair = timed_loop(pair_loop, params)
         bf16_scores = np.asarray(
             scores_once(params, jnp.asarray(0.0)), np.float32)
         out.update({
             "vqa_bf16_fits": True,
             "vqa_bf16_scores_per_s": round(n_texts / t_kv, 2),
             "vqa_bf16_prefill_tokens_per_s": round(real_f / t_prefill, 1),
-            "vqa_bf16_pair_scores_per_s": round(n_texts / t_pair, 2),
-            "vqa_kv_reuse_speedup": round(t_pair / t_kv, 2),
         })
     except Exception as e:
         out["vqa_bf16_fits"] = False
         out["vqa_bf16_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    if out.get("vqa_bf16_fits"):
+        # the reference-shaped pair path carries ~650 MB of all-position
+        # fp32 logits on top of the 13.5 GB weights — it may OOM where the
+        # kv path fits; keep its failure separate
+        try:
+            _progress("vqa bf16: reference-shaped pair path")
+            t_pair = timed_loop(pair_loop, params)
+            out["vqa_bf16_pair_scores_per_s"] = round(n_texts / t_pair, 2)
+            out["vqa_kv_reuse_speedup"] = round(t_pair / t_kv, 2)
+        except Exception as e:
+            out["vqa_bf16_pair_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # W8A8 trunk: quantize the same weights in place (int8 replaces bf16
     # leaf-by-leaf so peak HBM stays bounded), dynamic per-tensor act scales
@@ -731,16 +740,14 @@ def _bench_vqa(jax, jnp, np):
     kv_loop_q, prefill_loop_q, pair_loop_q, scores_once_q = make_legs(qmodel)
     _progress("vqa int8: kv-reuse path compile + time")
     t_kv_q = timed_loop(kv_loop_q, qparams)
+    out["vqa_int8_scores_per_s"] = round(n_texts / t_kv_q, 2)
     _progress("vqa int8: prefill-only path")
     t_prefill_q = timed_loop(prefill_loop_q, qparams)
+    out["vqa_int8_prefill_tokens_per_s"] = round(real_f / t_prefill_q, 1)
     _progress("vqa int8: reference-shaped pair path")
     t_pair_q = timed_loop(pair_loop_q, qparams)
-    out.update({
-        "vqa_int8_scores_per_s": round(n_texts / t_kv_q, 2),
-        "vqa_int8_prefill_tokens_per_s": round(real_f / t_prefill_q, 1),
-        "vqa_int8_pair_scores_per_s": round(n_texts / t_pair_q, 2),
-        "vqa_int8_kv_reuse_speedup": round(t_pair_q / t_kv_q, 2),
-    })
+    out["vqa_int8_pair_scores_per_s"] = round(n_texts / t_pair_q, 2)
+    out["vqa_int8_kv_reuse_speedup"] = round(t_pair_q / t_kv_q, 2)
     if bf16_scores is not None:
         q_scores = np.asarray(
             scores_once_q(qparams, jnp.asarray(0.0)), np.float32)
