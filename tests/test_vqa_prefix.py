@@ -205,3 +205,28 @@ def test_int8_trunk_scores_close(tiny_llava):
     leaf = qparams["language_model"]["model"]["layers_0"]["self_attn"][
         "q_proj"]["kernel_q"]
     assert leaf.dtype == np.int8
+
+
+def test_int8_trunk_embed_last_token(tiny_llava):
+    """VLM2Vec embedding mode over the W8A8 trunk (serving the MMEB eval
+    with a quantized 7B is the memory-fit story on one v5e chip)."""
+    from clip_embeds_tpu.models.quant import quantize_llava_trunk
+
+    model, params = tiny_llava
+    qmodel = Llava(tiny_cfg(), attn_impl="reference", quant_llm="dynamic")
+    qparams = quantize_llava_trunk(jax.device_get(params))
+    ids = np.full((2, 8), 7, np.int32)
+    ids[:, 2] = IMAGE_TOKEN_INDEX
+    pixels = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 32, 32, 3)),
+        jnp.float32)
+    mask = np.ones((2, 8), bool)
+    fp = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(ids), pixels, jnp.asarray(mask),
+        method="embed_last_token"), np.float32)
+    q = np.asarray(qmodel.apply(
+        {"params": qparams}, jnp.asarray(ids), pixels, jnp.asarray(mask),
+        method="embed_last_token"), np.float32)
+    assert q.shape == fp.shape
+    cos = (q * fp).sum(-1)  # both L2-normalized
+    assert np.all(cos > 0.98), cos
