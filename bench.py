@@ -753,6 +753,44 @@ def _bench_vqa(jax, jnp, np):
             scores_once_q(qparams, jnp.asarray(0.0)), np.float32)
         out["vqa_int8_max_abs_score_diff"] = round(
             float(np.abs(q_scores - bf16_scores).max()), 4)
+
+    # static act scales: the dynamic mode pays a per-tensor abs-max
+    # reduction before every projection; calibrating on the bench prompt
+    # and switching to static mode removes it (the text-tower int8 win
+    # only materialized in static mode — PERF.md round 2)
+    try:
+        _progress("vqa int8-static: calibrate + time")
+        from clip_embeds_tpu.models.quant import inject_act_scales
+
+        @jax.jit
+        def _calib(p, salt):
+            px = dev["pixels"] + salt.astype(jnp.bfloat16)
+            pmask, st1 = qmodel.apply(
+                {"params": p}, dev["prefix_ids"], px, dev["prefix_valid"],
+                method="prefill", mutable=["kv", "quant_obs"],
+            )
+            kv = extract_prefix_kv(st1["kv"], n_layers)
+            _, st2 = qmodel.apply(
+                {"params": p}, dev["suffix_ids"], kv, pmask,
+                dev["suffix_mask"], dev["real_f"], method="suffix_logits",
+                mutable=["quant_obs"],
+            )
+            return jax.tree.map(
+                jnp.maximum, st1["quant_obs"], st2["quant_obs"])
+
+        obs = jax.device_get(_calib(qparams, jnp.asarray(0.0)))
+        sparams = inject_act_scales(qparams, obs)
+        smodel = Llava(cfg, dtype=jnp.bfloat16, quant_llm="static")
+        kv_loop_s, _, _, scores_once_s = make_legs(smodel)
+        t_kv_s = timed_loop(kv_loop_s, sparams)
+        out["vqa_int8_static_scores_per_s"] = round(n_texts / t_kv_s, 2)
+        if bf16_scores is not None:
+            s_scores = np.asarray(
+                scores_once_s(sparams, jnp.asarray(0.0)), np.float32)
+            out["vqa_int8_static_max_abs_score_diff"] = round(
+                float(np.abs(s_scores - bf16_scores).max()), 4)
+    except Exception as e:
+        out["vqa_int8_static_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     return out
 
 

@@ -166,6 +166,27 @@ def quantize_llava_trunk(params: Any) -> Any:
     return out
 
 
+def inject_act_scales(params: Any, obs: Any) -> Any:
+    """Bake observed per-layer activation maxima ('quant_obs' collection)
+    into 'act_scale' params for static-mode QuantDense."""
+
+    def inject(p, o):
+        if not isinstance(p, dict):
+            return p
+        out = {}
+        for k, v in p.items():
+            if isinstance(v, dict) and "kernel_q" in v and k in o:
+                act_max = np.asarray(o[k]["act_max"]).max()
+                out[k] = dict(v, act_scale=np.float32(max(act_max / 127.0, 1e-8)))
+            elif isinstance(v, dict):
+                out[k] = inject(v, o.get(k, {}) if isinstance(o, dict) else {})
+            else:
+                out[k] = v
+        return out
+
+    return inject(params, obs)
+
+
 def calibrate_act_scales(model, params: Any, batches, apply_kwargs=None) -> Any:
     """Run a dynamic-mode quant model over batches, collect per-layer
     activation maxima, and bake 'act_scale' params for static mode."""
@@ -183,18 +204,4 @@ def calibrate_act_scales(model, params: Any, batches, apply_kwargs=None) -> Any:
         else:
             maxima = jax.tree.map(jnp.maximum, maxima, obs)
 
-    def inject(p, o):
-        if not isinstance(p, dict):
-            return p
-        out = {}
-        for k, v in p.items():
-            if isinstance(v, dict) and "kernel_q" in v and k in o:
-                act_max = np.asarray(o[k]["act_max"]).max()
-                out[k] = dict(v, act_scale=np.float32(max(act_max / 127.0, 1e-8)))
-            elif isinstance(v, dict):
-                out[k] = inject(v, o.get(k, {}) if isinstance(o, dict) else {})
-            else:
-                out[k] = v
-        return out
-
-    return inject(params, jax.device_get(maxima))
+    return inject_act_scales(params, jax.device_get(maxima))
