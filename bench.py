@@ -9,6 +9,13 @@ headline falls back to bf16. Deeper validation (cross-distribution cosine +
 top-1 agreement, one-command revalidation on real weights):
 `python -m clip_embeds_tpu.cli.validate_int8`.
 
+Round-4 extra legs: `e2e_img_per_s` (host JPEG decode overlapped with the
+device via PrefetchLoader — the end-to-end number the device-only headline
+excludes; host-bound on few-core machines) and the `vqa_*` family
+(LLaVA-1.5-7B VQAScore serving: bf16-fit probe, scores/s/chip and prefill
+tokens/s for bf16 / int8-dynamic / int8-static trunks, and the measured
+KV-prefix-reuse speedup vs the reference-shaped per-pair forward).
+
 Baseline: the reference stack embeds images through torch CLIP ViT-L/14-336
 with fp16 autocast + SDPA on an A100. We keep a CONSERVATIVE constant of
 1000 img/s/GPU as the divisor. For calibration: public open_clip inference
