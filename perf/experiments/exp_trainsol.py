@@ -122,7 +122,14 @@ def bench_variant(name: str):
         ts, tl = run(3), run(15)
         per = (tl - ts) / 12
     else:
-        tx = optax.set_to_zero() if base == "fwdbwd" else adamw(1e-4)
+        if base == "fwdbwd":
+            # NOT set_to_zero: zero updates make the grads dead code and
+            # XLA deletes the entire backward (measured: fwdbwd == fwdonly).
+            # A tiny non-foldable scale keeps the backward live at ~zero
+            # optimizer cost (one scaled add per param).
+            tx = optax.scale(-1e-30)
+        else:
+            tx = adamw(1e-4)
         state = TrainState.create(params, tx)
         step = jax.jit(make_clip_train_step(model), donate_argnums=0)
         state, metrics = step(state, batch)
