@@ -709,21 +709,29 @@ def _bench_vqa(jax, jnp, np):
     _progress("vqa: building 7B bf16 params on device")
     params = build_params(model)
     kv_loop, prefill_loop, pair_loop, scores_once = make_legs(model)
+    # each bf16 sub-leg is individually survivable: at the 13.5 GB weight
+    # scale SOME graphs reproducibly crash the remote tpu_compile_helper
+    # (observed: the kv-scores loop compiles and runs; the prefill-only
+    # graph 500s) — partial numbers are still informative
     try:
         _progress("vqa bf16: kv-reuse path compile + time")
         t_kv = timed_loop(kv_loop, params)
-        _progress("vqa bf16: prefill-only path")
-        t_prefill = timed_loop(prefill_loop, params)
         bf16_scores = np.asarray(
             scores_once(params, jnp.asarray(0.0)), np.float32)
-        out.update({
-            "vqa_bf16_fits": True,
-            "vqa_bf16_scores_per_s": round(n_texts / t_kv, 2),
-            "vqa_bf16_prefill_tokens_per_s": round(real_f / t_prefill, 1),
-        })
+        out["vqa_bf16_fits"] = True
+        out["vqa_bf16_scores_per_s"] = round(n_texts / t_kv, 2)
     except Exception as e:
         out["vqa_bf16_fits"] = False
         out["vqa_bf16_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    if out.get("vqa_bf16_fits"):
+        try:
+            _progress("vqa bf16: prefill-only path")
+            t_prefill = timed_loop(prefill_loop, params)
+            out["vqa_bf16_prefill_tokens_per_s"] = round(
+                real_f / t_prefill, 1)
+        except Exception as e:
+            out["vqa_bf16_prefill_error"] = \
+                f"{type(e).__name__}: {str(e)[:200]}"
     if out.get("vqa_bf16_fits"):
         # the reference-shaped pair path carries ~650 MB of all-position
         # fp32 logits on top of the 13.5 GB weights — it may OOM where the
