@@ -230,3 +230,59 @@ def test_int8_trunk_embed_last_token(tiny_llava):
     assert q.shape == fp.shape
     cos = (q * fp).sum(-1)  # both L2-normalized
     assert np.all(cos > 0.98), cos
+
+
+def test_prefix_kv_gqa_exactness():
+    """Prefix-KV replay under grouped-query attention (kv_heads < heads):
+    the prefix KV is cached PRE-GQA-repeat and repeated after concat —
+    suffix logits must equal the full causal forward (llava-llama-3 /
+    Qwen2-family trunks are GQA)."""
+    from clip_embeds_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_layers=2, num_heads=8, num_kv_heads=2,
+        max_position_embeddings=64,
+    )
+    model = LlamaForCausalLM(cfg, attn_impl="reference")
+    rng = np.random.default_rng(0)
+    full_ids = jnp.asarray(rng.integers(1, 120, (2, 12)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), full_ids)["params"]
+    want = np.asarray(model.apply({"params": params}, full_ids), np.float32)
+
+    p_len = 7
+
+    def trunk(ids, **kw):
+        return model.apply({"params": params},
+                           model.apply({"params": params}, ids,
+                                       method="embed"),
+                           **kw)
+
+    # prefill the first p_len tokens, sowing KV
+    _, mut = model.apply(
+        {"params": params},
+        model.apply({"params": params}, full_ids[:, :p_len], method="embed"),
+        None, None, False, None, True,
+        method="trunk", mutable=["kv"],
+    )
+    tree = mut["kv"]["model"]
+    kv = tuple(
+        (tree[f"layers_{i}"]["self_attn"]["k"][0],
+         tree[f"layers_{i}"]["self_attn"]["v"][0])
+        for i in range(cfg.num_layers)
+    )
+    assert kv[0][0].shape[1] == 2  # cached at kv_heads, pre-repeat
+
+    suffix = full_ids[:, p_len:]
+    n_sfx = suffix.shape[1]
+    positions = p_len + jnp.broadcast_to(jnp.arange(n_sfx)[None], (2, n_sfx))
+    hidden = model.apply(
+        {"params": params},
+        model.apply({"params": params}, suffix, method="embed"),
+        None, positions, False,
+        tuple((k, v, None) for k, v in kv), False,
+        method="trunk",
+    )
+    got = np.asarray(model.apply({"params": params}, hidden,
+                                 method="logits"), np.float32)
+    np.testing.assert_allclose(got, want[:, p_len:], rtol=2e-5, atol=2e-5)
