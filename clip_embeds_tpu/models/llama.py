@@ -138,6 +138,7 @@ class LlamaAttention(nn.Module):
         decode: bool = False,
         prefix: Optional[Tuple[jax.Array, jax.Array]] = None,
         sow_kv: bool = False,
+        prefix_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         from .quant import dense as make_dense
 
@@ -173,7 +174,8 @@ class LlamaAttention(nn.Module):
             # The prefix KV rides at batch 1 and broadcasts across the
             # candidate-text batch — the image is encoded once per image,
             # not once per (image, text) pair.
-            pk, pv, pmask = prefix
+            pk, pv = prefix
+            pmask = prefix_mask
             pk = jnp.broadcast_to(pk, (b,) + pk.shape[1:])
             pv = jnp.broadcast_to(pv, (b,) + pv.shape[1:])
             p_len = pk.shape[2]
@@ -287,16 +289,30 @@ class LlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, kv_mask, decode: bool = False,
-                 prefix=None, sow_kv: bool = False):
+                 prefix=None, sow_kv: bool = False, prefix_mask=None):
         h = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                     name="input_layernorm")(x)
         x = x + LlamaAttention(self.cfg, self.dtype, self.attn_impl,
                                self.quant,
                                name="self_attn")(h, cos, sin, kv_mask, decode,
-                                                 prefix, sow_kv)
+                                                 prefix, sow_kv, prefix_mask)
         h = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                     name="post_attention_layernorm")(x)
         return x + LlamaMLP(self.cfg, self.dtype, self.quant, name="mlp")(h)
+
+
+class _ScanLlamaBlock(LlamaBlock):
+    """LlamaBlock with a (carry, out) signature for nn.scan; the per-layer
+    prefix KV (if any) rides as the scanned input."""
+
+    def __call__(self, x, scanned, cos, sin, kv_mask, sow_kv=False,  # type: ignore[override]
+                 prefix_mask=None):
+        prefix = None
+        if scanned:  # {} when no prefix is scanned
+            prefix = (scanned["k"], scanned["v"])
+        y = super().__call__(x, cos, sin, kv_mask, False, prefix, sow_kv,
+                             prefix_mask)
+        return y, None
 
 
 class LlamaModel(nn.Module):
@@ -308,6 +324,9 @@ class LlamaModel(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     quant: str = ""
+    scan_layers: bool = False  # lax.scan over stacked block params: one
+    # compiled layer body instead of an L-times unrolled HLO (32x smaller
+    # compile for the 7B trunk; params under 'blocks' — stack_llama_params)
 
     @nn.compact
     def __call__(
@@ -317,9 +336,12 @@ class LlamaModel(nn.Module):
                                                      # mode: over the cache)
         positions: Optional[jax.Array] = None,       # int [B, N]
         decode: bool = False,
-        prefix_kv: Optional[Any] = None,     # per-layer ((k, v), ...) —
-                                             # see LlamaAttention prefix
+        prefix_kv: Optional[Any] = None,     # per-layer ((k, v), ...), or
+                                             # stacked ([L,...] K, V) under
+                                             # scan_layers
         sow_kv: bool = False,
+        prefix_mask: Optional[jax.Array] = None,  # bool [Bp, P] over the
+                                             # (padded) cached prefix
     ) -> jax.Array:
         cfg = self.cfg
         b, n, _ = inputs_embeds.shape
@@ -335,6 +357,29 @@ class LlamaModel(nn.Module):
             cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
         x = inputs_embeds
+        if self.scan_layers:
+            assert not decode and not self.remat, (
+                "scan_layers supports the forward / prefill / suffix paths"
+            )
+            if prefix_kv is None:
+                scanned = {}
+                in_ax = 0
+            else:
+                k_all, v_all = prefix_kv  # stacked [L, Bp, H, P, hd]
+                scanned = {"k": k_all, "v": v_all}
+                in_ax = 0
+            scan = nn.scan(
+                _ScanLlamaBlock,
+                variable_axes={"params": 0, "kv": 0, "quant_obs": 0},
+                split_rngs={"params": True},
+                in_axes=(in_ax, nn.broadcast, nn.broadcast, nn.broadcast,
+                         nn.broadcast, nn.broadcast),
+                length=cfg.num_layers,
+            )
+            x, _ = scan(cfg, self.dtype, self.attn_impl, self.quant,
+                        name="blocks")(
+                x, scanned, cos, sin, attention_mask, sow_kv, prefix_mask)
+            return RMSNorm(cfg.rms_norm_eps, self.dtype, name="norm")(x)
         block_cls = LlamaBlock
         if self.remat:
             # remat is a training feature; the prefix/sow_kv serving paths
@@ -351,7 +396,8 @@ class LlamaModel(nn.Module):
                 x = block_cls(cfg, self.dtype, self.attn_impl, self.quant,
                               name=f"layers_{i}")(
                     x, cos, sin, attention_mask, decode,
-                    None if prefix_kv is None else prefix_kv[i], sow_kv)
+                    None if prefix_kv is None else prefix_kv[i], sow_kv,
+                    prefix_mask)
         return RMSNorm(cfg.rms_norm_eps, self.dtype, name="norm")(x)
 
 
@@ -361,6 +407,7 @@ class LlamaForCausalLM(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     quant: str = ""
+    scan_layers: bool = False
 
     def setup(self):
         self.embed_tokens = nn.Embed(
@@ -370,7 +417,7 @@ class LlamaForCausalLM(nn.Module):
         )
         self.model = LlamaModel(
             self.cfg, self.dtype, self.attn_impl, self.remat, self.quant,
-            name="model"
+            self.scan_layers, name="model"
         )
         if not self.cfg.tie_word_embeddings:
             self.lm_head = nn.Dense(
@@ -389,9 +436,10 @@ class LlamaForCausalLM(nn.Module):
         decode: bool = False,
         prefix_kv: Optional[Any] = None,
         sow_kv: bool = False,
+        prefix_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         return self.model(inputs_embeds, attention_mask, positions, decode,
-                          prefix_kv, sow_kv)
+                          prefix_kv, sow_kv, prefix_mask)
 
     def logits(self, hidden: jax.Array) -> jax.Array:
         if self.cfg.tie_word_embeddings:
@@ -406,3 +454,18 @@ class LlamaForCausalLM(nn.Module):
     ) -> jax.Array:
         h = self.trunk(self.embed(input_ids), attention_mask, positions)
         return self.logits(h)
+
+
+def stack_llama_params(params: dict) -> dict:
+    """Unrolled LlamaForCausalLM params -> scan_layers layout:
+    {'model': {'layers_0': t0, ..., 'norm': n}} becomes
+    {'model': {'blocks': stacked, 'norm': n}} (embed/lm_head unchanged)."""
+    out = dict(params)
+    model = dict(params["model"])
+    n = len([k for k in model if k.startswith("layers_")])
+    trees = [model.pop(f"layers_{i}") for i in range(n)]
+    model["blocks"] = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], axis=0), *trees
+    )
+    out["model"] = model
+    return out

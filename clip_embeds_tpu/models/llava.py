@@ -96,14 +96,28 @@ def expand_like_tokens(
 
 
 def extract_prefix_kv(kv_vars, num_layers: int):
-    """Per-layer ((k, v), ...) from the 'kv' collection sown by
-    ``Llava.prefill`` (apply(..., mutable=['kv'])[1]['kv'])."""
+    """Prefix KV from the 'kv' collection sown by ``Llava.prefill``
+    (apply(..., mutable=['kv'])[1]['kv']): per-layer ((k, v), ...) for the
+    unrolled trunk, or stacked ([L,...] K, V) for scan_layers."""
     tree = kv_vars["language_model"]["model"]
+    if "blocks" in tree:  # scan_layers: flax stacked the sown KV on axis 0
+        node = tree["blocks"]["self_attn"]
+        return (node["k"][0], node["v"][0])
     return tuple(
         (tree[f"layers_{i}"]["self_attn"]["k"][0],
          tree[f"layers_{i}"]["self_attn"]["v"][0])
         for i in range(num_layers)
     )
+
+
+def stack_llava_params(params: dict) -> dict:
+    """Unrolled Llava params -> scan_llm layout (the Llama trunk's blocks
+    stacked; vision tower / projector unchanged)."""
+    from .llama import stack_llama_params
+
+    out = dict(params)
+    out["language_model"] = stack_llama_params(params["language_model"])
+    return out
 
 
 class MultiModalProjector(nn.Module):
@@ -123,6 +137,9 @@ class Llava(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     quant_llm: str = ""  # W8A8 trunk projections ('' | 'dynamic' | 'static')
+    scan_llm: bool = False  # lax.scan trunk (stack_llava_params layout):
+    # 32x smaller HLO for the 7B — compiles in a fraction of the unrolled
+    # time over the remote-TPU transport
 
     def setup(self):
         self.vision_tower = VisionTransformer(
@@ -137,6 +154,7 @@ class Llava(nn.Module):
         self.language_model = LlamaForCausalLM(
             self.cfg.llama, dtype=self.dtype, attn_impl=self.attn_impl,
             remat=self.remat, quant=self.quant_llm,
+            scan_layers=self.scan_llm,
         )
 
     def encode_images(self, pixel_values: jax.Array) -> jax.Array:
@@ -240,11 +258,9 @@ class Llava(nn.Module):
         positions = prefix_len + jnp.broadcast_to(
             jnp.arange(ls)[None, :], (n, ls)
         )
-        per_layer = tuple(
-            (k, v, prefix_mask) for k, v in prefix_kv
-        )
         hidden = self.language_model.trunk(
-            embeds, suffix_mask, positions, prefix_kv=per_layer
+            embeds, suffix_mask, positions, prefix_kv=prefix_kv,
+            prefix_mask=prefix_mask,
         )
         return self.language_model.logits(hidden)
 

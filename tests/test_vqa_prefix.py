@@ -279,10 +279,52 @@ def test_prefix_kv_gqa_exactness():
     hidden = model.apply(
         {"params": params},
         model.apply({"params": params}, suffix, method="embed"),
-        None, positions, False,
-        tuple((k, v, None) for k, v in kv), False,
+        None, positions, False, kv, False,
         method="trunk",
     )
     got = np.asarray(model.apply({"params": params}, hidden,
                                  method="logits"), np.float32)
     np.testing.assert_allclose(got, want[:, p_len:], rtol=2e-5, atol=2e-5)
+
+
+def test_scan_llm_matches_unrolled(tiny_llava):
+    """scan_llm=True (lax.scan trunk, stacked params): logits and the full
+    KV-reuse scorer path match the unrolled trunk. The scan layout exists
+    for compile time — one layer body instead of a 32x-unrolled HLO at 7B."""
+    from clip_embeds_tpu.models.llava import stack_llava_params
+
+    model, params = tiny_llava
+    smodel = Llava(tiny_cfg(), attn_impl="reference", scan_llm=True)
+    sparams = stack_llava_params(jax.device_get(params))
+
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray([[1, 9, IMAGE_TOKEN_INDEX, 17, 23, 40]], jnp.int32)
+    pixels = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    want = np.asarray(model.apply({"params": params}, ids, pixels),
+                      np.float32)
+    got = np.asarray(smodel.apply({"params": sparams}, ids, pixels),
+                     np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    img = _image(9)
+    texts = ["a cat on a mat", "a dog", "many small boxes"]
+    fast_scan = _scorer(smodel, sparams).forward_image_texts(img, texts)
+    fast = _scorer(model, params).forward_image_texts(img, texts)
+    np.testing.assert_allclose(fast_scan, fast, rtol=2e-5, atol=2e-5)
+
+
+def test_scan_llm_int8_trunk(tiny_llava):
+    """scan + W8A8 trunk compose (stacked QuantDense params)."""
+    from clip_embeds_tpu.models.llava import stack_llava_params
+    from clip_embeds_tpu.models.quant import quantize_llava_trunk
+
+    model, params = tiny_llava
+    qs_params = stack_llava_params(
+        quantize_llava_trunk(jax.device_get(params)))
+    qsmodel = Llava(tiny_cfg(), attn_impl="reference", scan_llm=True,
+                    quant_llm="dynamic")
+    img = _image(10)
+    texts = ["a cat", "a dog"]
+    q = _scorer(qsmodel, qs_params).forward_image_texts(img, texts)
+    fp = _scorer(model, params).forward_image_texts(img, texts)
+    assert np.all(np.abs(q - fp) < 0.15), (q, fp)
