@@ -130,11 +130,13 @@ def quantize_tree_on_device(params: Any, layer_names=QUANT_LAYER_NAMES,
 
     @jax.jit
     def qleaf(kernel):
+        # reduce the in-features axis (-2): correct for both plain [in, out]
+        # kernels and scan-stacked [L, in, out] kernels (per-layer scales)
         k32 = kernel.astype(jnp.float32)
-        scale = jnp.abs(k32).max(axis=0) / 127.0
+        scale = jnp.abs(k32).max(axis=-2, keepdims=True) / 127.0
         scale = jnp.where(scale == 0, 1.0, scale)
         q = jnp.clip(jnp.round(k32 / scale), -127, 127).astype(jnp.int8)
-        return q, scale.astype(jnp.float32)
+        return q, jnp.squeeze(scale, axis=-2).astype(jnp.float32)
 
     def walk(node, name=""):
         if not isinstance(node, dict):

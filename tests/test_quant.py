@@ -93,3 +93,41 @@ def test_validate_int8_cli(tmp_path):
     import json
 
     assert json.load(open(out))["pass"] is True
+
+
+def test_quantize_tree_on_device_stacked_layout():
+    """quantize_tree_on_device must be axis-correct for scan-stacked
+    [L, in, out] kernels: stack-then-quantize == quantize-then-stack
+    (the first probe quantized a stacked tree with an axis-0 reduction and
+    produced mis-shaped scales that tripped flax's scan assertion)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_embeds_tpu.models.llama import stack_llama_params
+    from clip_embeds_tpu.models.quant import (
+        LLAMA_QUANT_LAYER_NAMES,
+        quantize_dense_tree,
+        quantize_tree_on_device,
+    )
+
+    rng = np.random.default_rng(0)
+    unrolled = {"model": {
+        "layers_0": {"self_attn": {"q_proj": {
+            "kernel": rng.standard_normal((8, 16)).astype(np.float32)}}},
+        "layers_1": {"self_attn": {"q_proj": {
+            "kernel": rng.standard_normal((8, 16)).astype(np.float32)}}},
+        "norm": {"weight": np.ones(8, np.float32)},
+    }}
+    a = stack_llama_params(
+        {"model": quantize_dense_tree(unrolled["model"],
+                                      LLAMA_QUANT_LAYER_NAMES)})
+    b = dict(stack_llama_params(unrolled))
+    b["model"] = quantize_tree_on_device(b["model"],
+                                         LLAMA_QUANT_LAYER_NAMES)
+    qa = a["model"]["blocks"]["self_attn"]["q_proj"]
+    qb = b["model"]["blocks"]["self_attn"]["q_proj"]
+    np.testing.assert_array_equal(np.asarray(qa["kernel_q"]),
+                                  np.asarray(qb["kernel_q"]))
+    np.testing.assert_allclose(np.asarray(qa["scale"]),
+                               np.asarray(qb["scale"]), rtol=1e-6)
+    assert qb["scale"].shape == (2, 16)
