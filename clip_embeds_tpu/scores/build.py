@@ -296,16 +296,24 @@ def build_score_model(
 
         cfg = model_cfg(LlavaConfig)
         quant = kw.pop("quant", None)
+        # scan=True: lax.scan trunk — 40x faster cold compile at 7B for
+        # -15% steady-state (PERF.md round 4); params restack automatically
+        scan = kw.pop("scan", False)
         if quant:
-            # W8A8 trunk: ~6.9 GB instead of 13.5 GB for the 7B — the
-            # difference between fitting and not fitting one v5e chip
+            # W8A8 trunk: ~6.9 GB instead of 13.5 GB for the 7B — robust
+            # single-v5e serving and 1.55x faster than bf16
             # (models/quant.py quantize_llava_trunk; bench.py vqa leg)
             from ..models.quant import quantize_llava_trunk
 
-            model = Llava(cfg, dtype=dtype, quant_llm="dynamic")
+            model = Llava(cfg, dtype=dtype, quant_llm="dynamic",
+                          scan_llm=scan)
             params = quantize_llava_trunk(params)
         else:
-            model = Llava(cfg, dtype=dtype)
+            model = Llava(cfg, dtype=dtype, scan_llm=scan)
+        if scan:
+            from ..models.llava import stack_llava_params
+
+            params = stack_llava_params(params)
         tok, hf = need_tokenize(tokenize)
         if hf is not None:
             kw.setdefault("bos_token_id", hf.bos_token_id)

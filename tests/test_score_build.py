@@ -482,3 +482,41 @@ def test_get_score_model_llava_int8_trunk(tmp_path):
     out_q = q(imgs, texts)
     assert out_q.shape == (1, 2)
     assert np.all(np.abs(out_q - out_fp) < 0.15), (out_q, out_fp)
+
+
+@pytest.mark.slow
+def test_get_score_model_llava_scan_trunk(tmp_path):
+    """scan=True restacks the bundle's unrolled params and serves through
+    the lax.scan trunk — scores equal the unrolled path (compile-time
+    deployment option; PERF.md round 4)."""
+    from clip_embeds_tpu.models.llama import LlamaConfig
+    from clip_embeds_tpu.models.llava import (
+        IMAGE_TOKEN_INDEX,
+        Llava,
+        LlavaConfig,
+    )
+
+    cfg = LlavaConfig(
+        llama=LlamaConfig(vocab_size=256, hidden_size=64,
+                          intermediate_size=128, num_layers=2, num_heads=4,
+                          max_position_embeddings=128),
+        vision=VisionConfig(image_size=32, patch_size=16, width=64, layers=2,
+                            head_width=32),
+    )
+    model = Llava(cfg)
+    ids = np.full((1, 8), 7, np.int32)
+    ids[0, 2] = IMAGE_TOKEN_INDEX
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids),
+        jnp.zeros((1, 32, 32, 3), jnp.float32),
+    )["params"]
+    bundle = tmp_path / "llava-bundle"
+    save_score_bundle(str(bundle), "llava", cfg, params, conversation="chat")
+
+    plain = get_score_model("llava-v1.5-7b", checkpoint=str(bundle),
+                            tokenize=_toy_tokenize, batch_size=2)
+    scan = get_score_model("llava-v1.5-7b", checkpoint=str(bundle),
+                           tokenize=_toy_tokenize, batch_size=2, scan=True)
+    imgs, texts = [_img()], ["a cat", "a dog"]
+    np.testing.assert_allclose(scan(imgs, texts), plain(imgs, texts),
+                               rtol=2e-5, atol=2e-5)
