@@ -246,18 +246,21 @@ class Llava(nn.Module):
         self,
         suffix_ids: jax.Array,      # [n, Ls] right-padded candidate suffixes
         prefix_kv,                  # per-layer ((k, v), ...) at batch 1
-        prefix_mask: jax.Array,     # bool [1, F] from prefill
+        prefix_mask: jax.Array,     # bool [Bp, F] from prefill
         suffix_mask: jax.Array,     # bool [n, Ls]
-        prefix_len: jax.Array,      # scalar — REAL (unpadded) prefix length
+        prefix_len: jax.Array,      # REAL (unpadded) prefix length — scalar
+                                    # (shared prefix) or [n] (per-row, for a
+                                    # BATCHED prefill of distinct images)
     ) -> jax.Array:
         """Candidate-text logits [n, Ls, vocab] against a cached prefix."""
         embeds = self.language_model.embed(
             jnp.where(suffix_ids < 0, 0, suffix_ids)
         )
         n, ls = suffix_ids.shape
-        positions = prefix_len + jnp.broadcast_to(
-            jnp.arange(ls)[None, :], (n, ls)
-        )
+        base = jnp.asarray(prefix_len, jnp.int32)
+        if base.ndim == 0:
+            base = jnp.broadcast_to(base, (n,))
+        positions = base[:, None] + jnp.arange(ls)[None, :]
         hidden = self.language_model.trunk(
             embeds, suffix_mask, positions, prefix_kv=prefix_kv,
             prefix_mask=prefix_mask,

@@ -128,6 +128,9 @@ def bench_variant(name: str):
             # A tiny non-foldable scale keeps the backward live at ~zero
             # optimizer cost (one scaled add per param).
             tx = optax.scale(-1e-30)
+        elif "bf16mu" in name:
+            # halve the first-moment HBM traffic (round-2 bf16mu finding)
+            tx = adamw(1e-4, mu_dtype=jnp.bfloat16)
         else:
             tx = adamw(1e-4)
         state = TrainState.create(params, tx)

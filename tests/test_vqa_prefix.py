@@ -328,3 +328,49 @@ def test_scan_llm_int8_trunk(tiny_llava):
     q = _scorer(qsmodel, qs_params).forward_image_texts(img, texts)
     fp = _scorer(model, params).forward_image_texts(img, texts)
     assert np.all(np.abs(q - fp) < 0.15), (q, fp)
+
+
+def test_batched_prefill_per_row_prefix_len(tiny_llava):
+    """BATCHED prefill of two DIFFERENT images with different real prefix
+    lengths, scored in one suffix batch with per-row prefix_len (the
+    suffix positions/masks/KV are all per-row) — must equal the per-row
+    full forwards. This is the building block for amortizing the prefill
+    dispatch across a dataset's images."""
+    model, params = tiny_llava
+    cfg = model.cfg
+    n_image = cfg.n_image_tokens
+    rng = np.random.default_rng(11)
+    pixels = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+
+    rows = [[1, 9, IMAGE_TOKEN_INDEX, 17, 23],          # real len 5
+            [1, IMAGE_TOKEN_INDEX, 31, 37, 41, 43]]     # real len 6
+    suffixes = np.asarray([[40, 41, 42], [50, 51, 52]], np.int32)
+    suffix_mask = np.ones((2, 3), bool)
+
+    # per-row full forwards (each with its own image)
+    expected = []
+    for i, r in enumerate(rows):
+        ids = jnp.asarray([r + list(suffixes[i])], jnp.int32)
+        logits = model.apply({"params": params}, ids, pixels[i : i + 1])
+        expected.append(np.asarray(logits[0, len(r) - 1 + n_image:]))
+
+    # one batched prefill (right-padded to a common width)
+    lp = 8
+    prefix_ids = np.zeros((2, lp), np.int32)
+    prefix_valid = np.zeros((2, lp), bool)
+    for i, r in enumerate(rows):
+        prefix_ids[i, : len(r)] = r
+        prefix_valid[i, : len(r)] = True
+    pmask, mut = model.apply(
+        {"params": params}, jnp.asarray(prefix_ids), pixels,
+        jnp.asarray(prefix_valid), method="prefill", mutable=["kv"],
+    )
+    kv = extract_prefix_kv(mut["kv"], cfg.llama.num_layers)
+    real_f = jnp.asarray(
+        [len(r) - 1 + n_image for r in rows], jnp.int32)
+    got = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(suffixes), kv, pmask,
+        jnp.asarray(suffix_mask), real_f, method="suffix_logits",
+    ))
+    np.testing.assert_allclose(got[0], expected[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got[1], expected[1], rtol=2e-5, atol=2e-5)
