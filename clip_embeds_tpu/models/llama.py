@@ -139,6 +139,7 @@ class LlamaAttention(nn.Module):
         prefix: Optional[Tuple[jax.Array, jax.Array]] = None,
         sow_kv: bool = False,
         prefix_mask: Optional[jax.Array] = None,
+        suffix_block: Optional[int] = None,
     ) -> jax.Array:
         from .quant import dense as make_dense
 
@@ -185,10 +186,19 @@ class LlamaAttention(nn.Module):
                 rep = cfg.num_heads // cfg.kv_heads
                 k_all = jnp.repeat(k_all, rep, axis=1)
                 v_all = jnp.repeat(v_all, rep, axis=1)
-            # [B, 1, n, P+n]: prefix fully visible, causal within the suffix
+            # [B, 1, n, P+n]: prefix fully visible, causal within the
+            # suffix. suffix_block=k restricts suffix attention to
+            # block-diagonal causal: n_texts independent k-token candidate
+            # suffixes CONCATENATED in one row all read the same prefix KV
+            # without replicating it (the batched m x n eval layout).
             i = jnp.arange(n)[:, None]
             j = jnp.arange(p_len + n)[None, :]
-            mask = (j < p_len) | (j - p_len <= i)
+            js = j - p_len
+            within = js <= i
+            if suffix_block is not None:
+                within = jnp.logical_and(
+                    within, (js // suffix_block) == (i // suffix_block))
+            mask = (j < p_len) | within
             mask = jnp.broadcast_to(mask[None, None], (b, 1, n, p_len + n))
             ok_parts = []
             if pmask is not None:  # right-padded prefill slots
@@ -289,13 +299,15 @@ class LlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, kv_mask, decode: bool = False,
-                 prefix=None, sow_kv: bool = False, prefix_mask=None):
+                 prefix=None, sow_kv: bool = False, prefix_mask=None,
+                 suffix_block=None):
         h = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                     name="input_layernorm")(x)
         x = x + LlamaAttention(self.cfg, self.dtype, self.attn_impl,
                                self.quant,
                                name="self_attn")(h, cos, sin, kv_mask, decode,
-                                                 prefix, sow_kv, prefix_mask)
+                                                 prefix, sow_kv, prefix_mask,
+                                                 suffix_block)
         h = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                     name="post_attention_layernorm")(x)
         return x + LlamaMLP(self.cfg, self.dtype, self.quant, name="mlp")(h)
@@ -306,12 +318,12 @@ class _ScanLlamaBlock(LlamaBlock):
     prefix KV (if any) rides as the scanned input."""
 
     def __call__(self, x, scanned, cos, sin, kv_mask, sow_kv=False,  # type: ignore[override]
-                 prefix_mask=None):
+                 prefix_mask=None, suffix_block=None):
         prefix = None
         if scanned:  # {} when no prefix is scanned
             prefix = (scanned["k"], scanned["v"])
         y = super().__call__(x, cos, sin, kv_mask, False, prefix, sow_kv,
-                             prefix_mask)
+                             prefix_mask, suffix_block)
         return y, None
 
 
@@ -342,6 +354,8 @@ class LlamaModel(nn.Module):
         sow_kv: bool = False,
         prefix_mask: Optional[jax.Array] = None,  # bool [Bp, P] over the
                                              # (padded) cached prefix
+        suffix_block: Optional[int] = None,  # block-diagonal causal suffix
+                                             # (concatenated candidates)
     ) -> jax.Array:
         cfg = self.cfg
         b, n, _ = inputs_embeds.shape
@@ -373,12 +387,13 @@ class LlamaModel(nn.Module):
                 variable_axes={"params": 0, "kv": 0, "quant_obs": 0},
                 split_rngs={"params": True},
                 in_axes=(in_ax, nn.broadcast, nn.broadcast, nn.broadcast,
-                         nn.broadcast, nn.broadcast),
+                         nn.broadcast, nn.broadcast, nn.broadcast),
                 length=cfg.num_layers,
             )
             x, _ = scan(cfg, self.dtype, self.attn_impl, self.quant,
                         name="blocks")(
-                x, scanned, cos, sin, attention_mask, sow_kv, prefix_mask)
+                x, scanned, cos, sin, attention_mask, sow_kv, prefix_mask,
+                suffix_block)
             return RMSNorm(cfg.rms_norm_eps, self.dtype, name="norm")(x)
         block_cls = LlamaBlock
         if self.remat:
@@ -397,7 +412,7 @@ class LlamaModel(nn.Module):
                               name=f"layers_{i}")(
                     x, cos, sin, attention_mask, decode,
                     None if prefix_kv is None else prefix_kv[i], sow_kv,
-                    prefix_mask)
+                    prefix_mask, suffix_block)
         return RMSNorm(cfg.rms_norm_eps, self.dtype, name="norm")(x)
 
 
@@ -437,9 +452,10 @@ class LlamaForCausalLM(nn.Module):
         prefix_kv: Optional[Any] = None,
         sow_kv: bool = False,
         prefix_mask: Optional[jax.Array] = None,
+        suffix_block: Optional[int] = None,
     ) -> jax.Array:
         return self.model(inputs_embeds, attention_mask, positions, decode,
-                          prefix_kv, sow_kv, prefix_mask)
+                          prefix_kv, sow_kv, prefix_mask, suffix_block)
 
     def logits(self, hidden: jax.Array) -> jax.Array:
         if self.cfg.tie_word_embeddings:

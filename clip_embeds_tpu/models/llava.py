@@ -251,6 +251,11 @@ class Llava(nn.Module):
         prefix_len: jax.Array,      # REAL (unpadded) prefix length — scalar
                                     # (shared prefix) or [n] (per-row, for a
                                     # BATCHED prefill of distinct images)
+        suffix_block: Optional[int] = None,  # if set, each row holds
+                                    # n_texts candidate suffixes of this
+                                    # width CONCATENATED; they attend
+                                    # block-diagonally and all read the
+                                    # row's prefix KV (no KV replication)
     ) -> jax.Array:
         """Candidate-text logits [n, Ls, vocab] against a cached prefix."""
         embeds = self.language_model.embed(
@@ -260,10 +265,13 @@ class Llava(nn.Module):
         base = jnp.asarray(prefix_len, jnp.int32)
         if base.ndim == 0:
             base = jnp.broadcast_to(base, (n,))
-        positions = base[:, None] + jnp.arange(ls)[None, :]
+        offsets = jnp.arange(ls)
+        if suffix_block is not None:
+            offsets = offsets % suffix_block  # positions restart per text
+        positions = base[:, None] + offsets[None, :]
         hidden = self.language_model.trunk(
             embeds, suffix_mask, positions, prefix_kv=prefix_kv,
-            prefix_mask=prefix_mask,
+            prefix_mask=prefix_mask, suffix_block=suffix_block,
         )
         return self.language_model.logits(hidden)
 

@@ -374,3 +374,42 @@ def test_batched_prefill_per_row_prefix_len(tiny_llava):
     ))
     np.testing.assert_allclose(got[0], expected[0], rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(got[1], expected[1], rtol=2e-5, atol=2e-5)
+
+
+def test_concatenated_suffix_block_mode(tiny_llava):
+    """suffix_block: n candidate suffixes CONCATENATED in one row attend
+    block-diagonally over one shared prefix KV — logits per block equal the
+    separate-rows layout (the KV-replication-free batched m x n form)."""
+    model, params = tiny_llava
+    cfg = model.cfg
+    rng = np.random.default_rng(13)
+    pixels = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+
+    prefix_tokens = [1, 9, IMAGE_TOKEN_INDEX, 17, 23]
+    lp = 8
+    prefix_ids = np.zeros((1, lp), np.int32)
+    prefix_ids[0, : len(prefix_tokens)] = prefix_tokens
+    prefix_valid = np.zeros((1, lp), bool)
+    prefix_valid[0, : len(prefix_tokens)] = True
+    pmask, mut = model.apply(
+        {"params": params}, jnp.asarray(prefix_ids), pixels,
+        jnp.asarray(prefix_valid), method="prefill", mutable=["kv"],
+    )
+    kv = extract_prefix_kv(mut["kv"], cfg.llama.num_layers)
+    real_f = jnp.asarray(
+        len(prefix_tokens) - 1 + cfg.n_image_tokens, jnp.int32)
+
+    texts = np.asarray([[40, 41, 42, 43], [50, 51, 52, 53]], np.int32)
+    # (a) separate rows
+    sep = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(texts), kv, pmask,
+        jnp.ones((2, 4), bool), real_f, method="suffix_logits",
+    ))
+    # (b) one concatenated row, block width 4
+    cat = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(texts.reshape(1, 8)), kv, pmask,
+        jnp.ones((1, 8), bool), real_f, method="suffix_logits",
+        suffix_block=4,
+    ))
+    np.testing.assert_allclose(cat.reshape(2, 4, -1), sep, rtol=2e-5,
+                               atol=2e-5)
