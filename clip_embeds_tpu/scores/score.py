@@ -30,9 +30,13 @@ class Score:
     """
 
     def __init__(self, pair_forward: PairForwardFn,
-                 image_texts_forward=None):
+                 image_texts_forward=None, groups_forward=None):
         self.pair_forward = pair_forward
         self.image_texts_forward = image_texts_forward
+        # groups_forward(images[k], texts[k][n], **kw) -> [k, n]: one
+        # batched prefill + one block-causal concatenated-suffix pass per
+        # k-group (two dispatches per k images instead of two per image)
+        self.groups_forward = groups_forward
 
     def __call__(
         self,
@@ -68,6 +72,15 @@ class Score:
         n_images = len(dataset[0]["images"])
         n_texts = len(dataset[0]["texts"])
         out = np.zeros((n, n_images, n_texts), np.float32)
+        if self.groups_forward is not None and n_texts > 1:
+            for ii in range(n_images):
+                for start in range(0, n, batch_size):
+                    chunk = dataset[start : start + batch_size]
+                    out[start : start + len(chunk), ii] = self.groups_forward(
+                        [s["images"][ii] for s in chunk],
+                        [list(s["texts"]) for s in chunk], **kwargs
+                    )
+            return out
         if self.image_texts_forward is not None and n_texts > 1:
             for si, sample in enumerate(dataset):
                 for ii in range(n_images):
@@ -92,7 +105,8 @@ def VQAScore(model, params, tokenize, **kw) -> Score:
     from .vqa_score import VQAScorer
 
     scorer = VQAScorer(model, params, tokenize, **kw)
-    return Score(scorer.forward, scorer.forward_image_texts)
+    return Score(scorer.forward, scorer.forward_image_texts,
+                 scorer.forward_groups)
 
 
 def InstructBlipVQAScore(model, params, qformer_tokenize, t5_tokenize,

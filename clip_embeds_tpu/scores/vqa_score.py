@@ -325,6 +325,139 @@ class VQAScorer:
             ))
         return out
 
+    def forward_groups(
+        self,
+        images: Sequence[ImageLike],            # k images
+        texts_per_image: Sequence[Sequence[str]],  # k lists of n texts each
+        question_template: str = DEFAULT_QUESTION_TEMPLATE,
+        answer_template: str = DEFAULT_ANSWER_TEMPLATE,
+    ) -> np.ndarray:
+        """[k, n] scores with TWO dispatches total: one batched prefill of
+        the k distinct images (per-row sentinels/prefix lengths), then one
+        suffix pass where each row holds its n candidate suffixes
+        CONCATENATED, attending block-diagonally over the row's prefix KV
+        (Llava.suffix_logits suffix_block — no KV replication). The
+        per-image path pays 2 dispatches PER image; this pays 2 per k-group,
+        which is what batch_forward-style dataset evals want on
+        high-latency links."""
+        k = len(images)
+        assert k == len(texts_per_image)
+        n = len(texts_per_image[0])
+        assert all(len(t) == n for t in texts_per_image), (
+            "forward_groups needs a uniform text count per image")
+
+        groups = []
+        for img, texts in zip(images, texts_per_image):
+            prepared = [
+                self._prepare(img, t, question_template, answer_template)
+                for t in texts
+            ]
+            rows = [ids for ids, _ in prepared]
+            lcp = len(rows[0])
+            for r in rows[1:]:
+                m = min(lcp, len(r))
+                i = 0
+                while i < m and r[i] == rows[0][i]:
+                    i += 1
+                lcp = i
+            first_label = min(
+                next(i for i, l in enumerate(lab) if l != IGNORE_INDEX)
+                for _, lab in prepared
+            )
+            prefix_len = min(lcp, first_label - 1)
+            sentinel = rows[0].index(IMAGE_TOKEN_INDEX) \
+                if IMAGE_TOKEN_INDEX in rows[0] else -1
+            if n < 2 or prefix_len < 8 or not (0 <= sentinel < prefix_len):
+                groups.append(None)  # fall back per-image below
+            else:
+                groups.append((prepared, prefix_len))
+
+        out = np.zeros((k, n), np.float32)
+        live = [i for i, g in enumerate(groups) if g is not None]
+        for i, g in enumerate(groups):
+            if g is None:
+                out[i] = self.forward_image_texts(
+                    images[i], list(texts_per_image[i]),
+                    question_template, answer_template)
+        if not live:
+            return out
+
+        mpre = self.pad_to_multiple
+        lp_pad = max(g[1] for i, g in enumerate(groups) if g is not None)
+        lp_pad = ((lp_pad + mpre - 1) // mpre) * mpre
+        ms = self.suffix_pad_to_multiple
+        ls = max(
+            len(ids) - groups[i][1]
+            for i in live for ids, _ in groups[i][0]
+        )
+        ls = ((ls + ms - 1) // ms) * ms
+
+        kb = len(live)
+        prefix_ids = np.full((kb, lp_pad), self.pad_token_id, np.int32)
+        prefix_valid = np.zeros((kb, lp_pad), bool)
+        suffix_ids = np.full((kb, n * ls), self.pad_token_id, np.int32)
+        suffix_mask = np.zeros((kb, n * ls), bool)
+        labels = np.full((kb, n * ls), IGNORE_INDEX, np.int32)
+        real_f = np.zeros((kb,), np.int32)
+        n_image = self.model.cfg.n_image_tokens
+        for row, gi in enumerate(live):
+            prepared, plen = groups[gi]
+            prefix_ids[row, :plen] = prepared[0][0][:plen]
+            prefix_valid[row, :plen] = True
+            real_f[row] = plen - 1 + n_image
+            for t, (ids, lab) in enumerate(prepared):
+                tail = ids[plen:]
+                suffix_ids[row, t * ls : t * ls + len(tail)] = tail
+                labels[row, t * ls : t * ls + len(tail)] = lab[plen:]
+                suffix_mask[row, t * ls : t * ls + len(tail)] = True
+
+        pixels = preprocess_batch(
+            [images[i] for i in live], self.image_size, "llava")
+        scores = np.asarray(self._group_scores(ls)(
+            self.params, jnp.asarray(prefix_ids), jnp.asarray(pixels),
+            jnp.asarray(prefix_valid), jnp.asarray(suffix_ids),
+            jnp.asarray(suffix_mask), jnp.asarray(labels),
+            jnp.asarray(real_f),
+        ))
+        for row, gi in enumerate(live):
+            out[gi] = scores[row]
+        return out
+
+    def _group_scores(self, ls: int):
+        """Jitted (prefill + block-causal concatenated suffix) composite for
+        a given per-text suffix width (one compile per distinct width)."""
+        cache = self.__dict__.setdefault("_group_scores_cache", {})
+        if ls in cache:
+            return cache[ls]
+        model = self.model
+        from ..models.llava import extract_prefix_kv
+
+        import jax as _jax
+
+        @_jax.jit
+        def fn(params, prefix_ids, pixels, prefix_valid, suffix_ids,
+               suffix_mask, labels, real_f):
+            pmask, mut = model.apply(
+                {"params": params}, prefix_ids, pixels, prefix_valid,
+                method="prefill", mutable=["kv"],
+            )
+            kv = extract_prefix_kv(mut["kv"], model.cfg.llama.num_layers)
+            logits = model.apply(
+                {"params": params}, suffix_ids, kv, pmask, suffix_mask,
+                real_f, method="suffix_logits", suffix_block=ls,
+            )
+            kb = suffix_ids.shape[0]
+            n = suffix_ids.shape[1] // ls
+            vocab = logits.shape[-1]
+            blocks = logits.reshape(kb * n, ls, vocab)
+            lab = labels.reshape(kb * n, ls)
+            scores = _exp_neg_mean_ce(
+                blocks[:, :-1].astype(jnp.float32), lab[:, 1:])
+            return scores.reshape(kb, n)
+
+        cache[ls] = fn
+        return fn
+
     def _forward_chunk(self, prepared, images) -> np.ndarray:
         n = len(prepared)
         max_len = max(len(ids) for ids, _ in prepared)

@@ -413,3 +413,50 @@ def test_concatenated_suffix_block_mode(tiny_llava):
     ))
     np.testing.assert_allclose(cat.reshape(2, 4, -1), sep, rtol=2e-5,
                                atol=2e-5)
+
+
+def test_forward_groups_matches_per_image(tiny_llava):
+    """forward_groups (ONE batched prefill + ONE concatenated-suffix pass
+    for k images x n texts) == the per-image KV path == the pair path."""
+    model, params = tiny_llava
+    scorer = _scorer(model, params)
+    images = [_image(20), _image(21), _image(22)]
+    texts = [["a cat", "a dog on a mat"],
+             ["one small fish", "two"],
+             ["red box", "blue round ball here"]]
+    grouped = scorer.forward_groups(images, texts)
+    assert grouped.shape == (3, 2)
+    for i in range(3):
+        per_image = scorer.forward_image_texts(images[i], texts[i])
+        np.testing.assert_allclose(grouped[i], per_image, rtol=2e-5,
+                                   atol=2e-5)
+
+
+def test_forward_groups_fallback_single_text(tiny_llava):
+    model, params = tiny_llava
+    scorer = _scorer(model, params)
+    grouped = scorer.forward_groups([_image(23)], [["a cat"]])
+    slow = scorer.forward([_image(23)], ["a cat"])
+    np.testing.assert_allclose(grouped[0], slow, rtol=1e-6)
+
+
+def test_batch_forward_uses_groups_path(tiny_llava):
+    from clip_embeds_tpu.scores.score import VQAScore
+
+    model, params = tiny_llava
+    score = VQAScore(model, params, toy_tokenize, bos_token_id=1,
+                     pad_token_id=0, batch_size=2, pad_to_multiple=8,
+                     suffix_pad_to_multiple=4)
+    assert score.groups_forward is not None
+    dataset = [
+        {"images": [_image(30), _image(31)], "texts": ["a cat", "a dog"]},
+        {"images": [_image(32), _image(33)], "texts": ["one", "two fish"]},
+        {"images": [_image(34), _image(35)], "texts": ["x y", "z w v"]},
+    ]
+    grouped = score.batch_forward(dataset, batch_size=2)
+    assert grouped.shape == (3, 2, 2)
+    for si, s in enumerate(dataset):
+        for ii in range(2):
+            want = score.pair_forward([s["images"][ii]] * 2, s["texts"])
+            np.testing.assert_allclose(grouped[si, ii], want, rtol=2e-5,
+                                       atol=2e-5)
