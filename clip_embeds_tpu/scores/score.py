@@ -49,6 +49,18 @@ class Score:
         if isinstance(texts, str):
             texts = [texts]
         scores = np.zeros((len(images), len(texts)), np.float32)
+        if (self.groups_forward is not None and len(texts) > 1
+                and len(images) > 1):
+            # the m x n broadcast IS a k-group (every image scores the same
+            # n texts): one batched prefill + one concatenated-suffix pass
+            # per 16 images instead of two dispatches per image
+            bs = 16
+            for start in range(0, len(images), bs):
+                chunk = list(images[start : start + bs])
+                scores[start : start + len(chunk)] = self.groups_forward(
+                    chunk, [list(texts)] * len(chunk), **kwargs
+                )
+            return scores
         if self.image_texts_forward is not None and len(texts) > 1:
             for i, image in enumerate(images):
                 scores[i] = self.image_texts_forward(image, list(texts),

@@ -460,3 +460,22 @@ def test_batch_forward_uses_groups_path(tiny_llava):
             want = score.pair_forward([s["images"][ii]] * 2, s["texts"])
             np.testing.assert_allclose(grouped[si, ii], want, rtol=2e-5,
                                        atol=2e-5)
+
+
+def test_call_m_by_n_uses_groups_path(tiny_llava):
+    """Score(images[m], texts[n]) routes the m x n broadcast through
+    forward_groups (every image scores the same n texts = one k-group) and
+    matches the reference-shaped pair loop."""
+    from clip_embeds_tpu.scores.score import VQAScore
+
+    model, params = tiny_llava
+    score = VQAScore(model, params, toy_tokenize, bos_token_id=1,
+                     pad_token_id=0, batch_size=2, pad_to_multiple=8,
+                     suffix_pad_to_multiple=4)
+    images = [_image(40), _image(41), _image(42)]
+    texts = ["a cat", "two small fish", "red box"]
+    got = score(images, texts)
+    assert got.shape == (3, 3)
+    for i, img in enumerate(images):
+        want = score.pair_forward([img] * 3, texts)
+        np.testing.assert_allclose(got[i], want, rtol=2e-5, atol=2e-5)
