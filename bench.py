@@ -738,6 +738,72 @@ def _bench_vqa(jax, jnp, np):
     q_scores = np.asarray(
         scores_once_q(qparams, jnp.asarray(0.0)), np.float32)
 
+    # grouped m x n leg: k=8 distinct images in ONE batched prefill + ONE
+    # block-causal concatenated-suffix pass (suffix_block) — 2 dispatches
+    # per k-group instead of 2 per image; the route Score.__call__ /
+    # batch_forward take for multi-image calls. Exactness vs the per-image
+    # path is pinned in tests/test_vqa_prefix.py and measured at 7B in
+    # perf/experiments/exp_vqagroup.py. k=8 prefix KV ~2.6 GB bf16 fits
+    # beside the int8 trunk.
+    try:
+        _progress("vqa int8: grouped k=8 m x n path")
+        k_grp = 8
+        g = {
+            "prefix_ids": jnp.asarray(np.repeat(prefix_ids, k_grp, axis=0)),
+            "prefix_valid": jnp.asarray(
+                np.repeat(prefix_valid, k_grp, axis=0)),
+            "suffix_ids": jnp.asarray(np.broadcast_to(
+                suffix_ids.reshape(1, n_texts * ls),
+                (k_grp, n_texts * ls)).copy()),
+            "suffix_mask": jnp.asarray(np.broadcast_to(
+                suffix_mask.reshape(1, n_texts * ls),
+                (k_grp, n_texts * ls)).copy()),
+            "labels": jnp.asarray(np.broadcast_to(
+                labels.reshape(1, n_texts * ls),
+                (k_grp, n_texts * ls)).copy()),
+            "pixels": jnp.asarray(
+                rng.standard_normal((k_grp, img_size, img_size, 3)),
+                jnp.bfloat16),
+            "real_f": jnp.asarray(
+                np.full((k_grp,), real_f, np.int32)),
+        }
+
+        def grouped_scores(p, salt):
+            px = g["pixels"] + salt.astype(jnp.bfloat16)
+            pmask, mut = qmodel.apply(
+                {"params": p}, g["prefix_ids"], px, g["prefix_valid"],
+                method="prefill", mutable=["kv"],
+            )
+            kv = extract_prefix_kv(mut["kv"], n_layers)
+            logits = qmodel.apply(
+                {"params": p}, g["suffix_ids"], kv, pmask,
+                g["suffix_mask"], g["real_f"], method="suffix_logits",
+                suffix_block=ls,
+            )
+            blocks = logits.reshape(k_grp * n_texts, ls, logits.shape[-1])
+            lab = g["labels"].reshape(k_grp * n_texts, ls)
+            return _exp_neg_mean_ce(
+                blocks[:, :-1].astype(jnp.float32), lab[:, 1:])
+
+        @jax.jit
+        def grouped_loop(p, salt0, iters):
+            def body(_, salt):
+                return jnp.sum(grouped_scores(p, salt)) * 1e-6
+            return jax.lax.fori_loop(0, iters, body, salt0)
+
+        t_grp_q = timed_loop(grouped_loop, qparams)
+        out["vqa_int8_group8_scores_per_s"] = round(
+            k_grp * n_texts / t_grp_q, 2)
+        out["vqa_int8_group8_vs_per_image"] = round(
+            k_grp * t_kv_q / t_grp_q, 2)
+        for leaf in jax.tree.leaves(g):
+            try:
+                leaf.delete()
+            except Exception:
+                pass
+    except Exception as e:
+        out["vqa_int8_group8_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+
     # static act scales: the dynamic mode pays a per-tensor abs-max
     # reduction before every projection; calibrating on the bench prompt
     # and switching to static mode removes it (the text-tower int8 win

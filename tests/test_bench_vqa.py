@@ -31,9 +31,11 @@ def test_bench_vqa_tiny(monkeypatch):
         "vqa_bf16_pair_scores_per_s", "vqa_kv_reuse_speedup",
         "vqa_int8_scores_per_s", "vqa_int8_prefill_tokens_per_s",
         "vqa_int8_kv_reuse_speedup", "vqa_int8_max_abs_score_diff",
+        "vqa_int8_group8_scores_per_s", "vqa_int8_group8_vs_per_image",
     ):
         assert key in out, key
         assert np.isfinite(out[key])
+    assert "vqa_int8_group8_error" not in out
     # at toy shapes the prefix compute is negligible and dispatch noise
     # dominates, so only sanity-bound the ratio here; the >1 claim is made
     # (and recorded) at the real 7B shape on the chip
