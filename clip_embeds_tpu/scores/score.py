@@ -30,13 +30,20 @@ class Score:
     """
 
     def __init__(self, pair_forward: PairForwardFn,
-                 image_texts_forward=None, groups_forward=None):
+                 image_texts_forward=None, groups_forward=None,
+                 group_size: int = 8):
         self.pair_forward = pair_forward
         self.image_texts_forward = image_texts_forward
         # groups_forward(images[k], texts[k][n], **kw) -> [k, n]: one
         # batched prefill + one block-causal concatenated-suffix pass per
         # k-group (two dispatches per k images instead of two per image)
         self.groups_forward = groups_forward
+        # k per group. The prefix KV is the HBM cost that scales with k:
+        # at llava-v1.5-7b shapes each image holds ~327 MB of bf16 KV
+        # (32 layers x 2 x ~640 tokens x 4096 x 2B), so k=8 is ~2.6 GB —
+        # measured to fit beside the int8 trunk AND the knife's-edge bf16
+        # trunk (PERF.md round 4); k=16 (~5.2 GB) does not beside bf16.
+        self.group_size = group_size
 
     def __call__(
         self,
@@ -53,8 +60,8 @@ class Score:
                 and len(images) > 1):
             # the m x n broadcast IS a k-group (every image scores the same
             # n texts): one batched prefill + one concatenated-suffix pass
-            # per 16 images instead of two dispatches per image
-            bs = 16
+            # per group_size images instead of two dispatches per image
+            bs = self.group_size
             for start in range(0, len(images), bs):
                 chunk = list(images[start : start + bs])
                 scores[start : start + len(chunk)] = self.groups_forward(
@@ -85,9 +92,10 @@ class Score:
         n_texts = len(dataset[0]["texts"])
         out = np.zeros((n, n_images, n_texts), np.float32)
         if self.groups_forward is not None and n_texts > 1:
+            bs = min(batch_size, self.group_size)
             for ii in range(n_images):
-                for start in range(0, n, batch_size):
-                    chunk = dataset[start : start + batch_size]
+                for start in range(0, n, bs):
+                    chunk = dataset[start : start + bs]
                     out[start : start + len(chunk), ii] = self.groups_forward(
                         [s["images"][ii] for s in chunk],
                         [list(s["texts"]) for s in chunk], **kwargs
@@ -112,13 +120,13 @@ class Score:
         return out
 
 
-def VQAScore(model, params, tokenize, **kw) -> Score:
+def VQAScore(model, params, tokenize, group_size: int = 8, **kw) -> Score:
     """VQAScore factory over a JAX LLaVA model (t2v_metrics.VQAScore)."""
     from .vqa_score import VQAScorer
 
     scorer = VQAScorer(model, params, tokenize, **kw)
     return Score(scorer.forward, scorer.forward_image_texts,
-                 scorer.forward_groups)
+                 scorer.forward_groups, group_size=group_size)
 
 
 def InstructBlipVQAScore(model, params, qformer_tokenize, t5_tokenize,

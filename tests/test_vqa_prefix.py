@@ -121,6 +121,39 @@ def test_score_api_uses_grouped_path(tiny_llava):
     np.testing.assert_allclose(grouped, pairwise, rtol=2e-5, atol=2e-5)
 
 
+def test_grouped_path_chunks_at_group_size(tiny_llava):
+    """m > group_size splits into full groups + a remainder group, and the
+    chunked result equals the pair path (exercises the k-group boundary the
+    defaults hide: group_size=8 caps prefix-KV HBM at the measured-safe k)."""
+    from clip_embeds_tpu.scores.score import VQAScore
+
+    model, params = tiny_llava
+    score = VQAScore(model, params, toy_tokenize, bos_token_id=1,
+                     pad_token_id=0, batch_size=2, pad_to_multiple=8,
+                     suffix_pad_to_multiple=4, group_size=2)
+    assert score.group_size == 2
+    imgs = [_image(40), _image(41), _image(42)]  # 2-group + remainder of 1
+    texts = ["a cat", "a dog and a cat"]
+    grouped = score(imgs, texts)
+    pairwise = np.stack([
+        score.pair_forward([im] * 2, texts) for im in imgs
+    ])
+    assert grouped.shape == (3, 2)
+    np.testing.assert_allclose(grouped, pairwise, rtol=2e-5, atol=2e-5)
+
+    dataset = [
+        {"images": [_image(50)], "texts": texts},
+        {"images": [_image(51)], "texts": texts},
+        {"images": [_image(52)], "texts": texts},
+    ]
+    out = score.batch_forward(dataset, batch_size=16)  # capped to group_size
+    assert out.shape == (3, 1, 2)
+    want = np.stack([
+        score.pair_forward([s["images"][0]] * 2, texts) for s in dataset
+    ])
+    np.testing.assert_allclose(out[:, 0], want, rtol=2e-5, atol=2e-5)
+
+
 def test_batch_forward_uses_grouped_path(tiny_llava):
     from clip_embeds_tpu.scores.score import VQAScore
 
