@@ -26,6 +26,20 @@ def const_lr(base_lr: float, warmup: int = 0) -> Schedule:
     return fn
 
 
+def linear_lr(base_lr: float, warmup: int, total_steps: int) -> Schedule:
+    """HF Trainer 'linear' schedule (the VLM2Vec recipe,
+    run_train.sh:3-15 --lr_scheduler_type linear): warmup then linear decay
+    to 0 at total_steps."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        es = max(total_steps - warmup, 1)
+        lin = base_lr * jnp.clip(1.0 - (step - warmup) / es, 0.0, 1.0)
+        return jnp.where(step < warmup, _warmup(base_lr, warmup, step), lin)
+
+    return fn
+
+
 def cosine_lr(base_lr: float, warmup: int, total_steps: int) -> Schedule:
     def fn(step):
         step = jnp.asarray(step, jnp.float32)

@@ -47,6 +47,53 @@ def make_vlm2vec_train_step(
         )
         return {"qry": qry, "tgt": tgt}
 
+    return _make_step(encode, temperature, bidirectional, grad_cache_chunks)
+
+
+def make_vlm2vec_mixed_train_step(
+    model: Llava,
+    base_params: Any = None,
+    lora_alpha: float = 16.0,
+    temperature: float = 0.02,
+    grad_cache_chunks: int = 0,
+    bidirectional: bool = False,
+) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict]]:
+    """Train step over MMEB mixed image/text batches: any row on EITHER side
+    may or may not carry an image (data/mmeb.py mixed_pair_batches — the
+    static-shape equivalent of the reference's image_mask collator split,
+    src/collator.py:12-85 / trainer.py:54-89). Each side pools through
+    ``Llava.embed_mixed``.
+
+    ``base_params`` set -> ``state.params`` is a LoRA adapter tree over the
+    frozen base (the reference recipe, src/model.py:97-116);
+    ``base_params=None`` -> ``state.params`` IS the full parameter tree
+    (full finetune).
+
+    batch keys per side: {qry,tgt}_ids/_mask/_pixels/_image_valid.
+    """
+
+    def encode(trainable, batch):
+        params = (
+            materialize(base_params, trainable, lora_alpha, train=True)
+            if base_params is not None else trainable
+        )
+
+        def side(prefix: str):
+            return model.apply(
+                {"params": params},
+                batch[f"{prefix}_ids"],
+                batch[f"{prefix}_pixels"],
+                batch[f"{prefix}_image_valid"],
+                batch[f"{prefix}_mask"],
+                method="embed_mixed",
+            )
+
+        return {"qry": side("qry"), "tgt": side("tgt")}
+
+    return _make_step(encode, temperature, bidirectional, grad_cache_chunks)
+
+
+def _make_step(encode, temperature, bidirectional, grad_cache_chunks):
     def rep_loss(reps):
         loss = embedding_contrastive_loss(
             reps["qry"], reps["tgt"], temperature
@@ -64,7 +111,7 @@ def make_vlm2vec_train_step(
             )
         else:
             loss, grads = jax.value_and_grad(
-                lambda lora: rep_loss(encode(lora, batch))
+                lambda trainable: rep_loss(encode(trainable, batch))
             )(state.params)
         state = state.apply_gradients(grads)
         return state, {"loss": loss}

@@ -91,6 +91,122 @@ def test_vlm2vec_grad_cache_matches_plain():
     np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
 
 
+def _mixed_batch(n=4, length=16):
+    """Mixed MMEB-style batch: any row on either side may carry an image
+    (exactly one sentinel per row; imageless rows park it in the pad area,
+    outside the real-token mask — data/mmeb.py mixed_pair_batches layout)."""
+    rng = np.random.default_rng(1)
+    out = {}
+    for prefix in ("qry", "tgt"):
+        ids = np.zeros((n, length), np.int32)
+        mask = np.zeros((n, length), bool)
+        valid = rng.random(n) < 0.5
+        valid[0], valid[1] = True, False  # deterministic coverage of both
+        for i in range(n):
+            L = int(rng.integers(6, length - 1))
+            ids[i, :L] = rng.integers(1, 250, L)
+            mask[i, :L] = True
+            ids[i, 2 if valid[i] else length - 1] = -200
+        out[f"{prefix}_ids"] = ids
+        out[f"{prefix}_mask"] = mask
+        out[f"{prefix}_pixels"] = rng.standard_normal(
+            (n, 32, 32, 3)).astype(np.float32)
+        out[f"{prefix}_image_valid"] = valid
+    return out
+
+
+def test_vlm2vec_mixed_training_step():
+    from clip_embeds_tpu.train.vlm2vec import make_vlm2vec_mixed_train_step
+
+    model, base_params = tiny_llava()
+    lora = init_lora(base_params, rank=2, rng=jax.random.PRNGKey(1))
+    step = jax.jit(make_vlm2vec_mixed_train_step(model, base_params))
+    state = TrainState.create(lora, adamw(1e-3, weight_decay=0.0))
+    batch = _mixed_batch()
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_vlm2vec_mixed_grad_cache_matches_plain():
+    from clip_embeds_tpu.train.vlm2vec import make_vlm2vec_mixed_train_step
+
+    model, base_params = tiny_llava()
+    lora = init_lora(base_params, rank=2, rng=jax.random.PRNGKey(1))
+    batch = _mixed_batch(n=4)
+    step_plain = make_vlm2vec_mixed_train_step(model, base_params)
+    step_gc = make_vlm2vec_mixed_train_step(model, base_params,
+                                            grad_cache_chunks=2)
+    s1 = TrainState.create(lora, adamw(0.0, weight_decay=0.0))
+    s2 = TrainState.create(lora, adamw(0.0, weight_decay=0.0))
+    _, m1 = step_plain(s1, batch)
+    _, m2 = step_gc(s2, batch)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+
+
+def test_vlm2vec_mixed_full_finetune_step():
+    """base_params=None: state.params IS the full tree (no adapters)."""
+    from clip_embeds_tpu.train.vlm2vec import make_vlm2vec_mixed_train_step
+
+    model, base_params = tiny_llava()
+    step = jax.jit(make_vlm2vec_mixed_train_step(model, None))
+    state = TrainState.create(base_params, adamw(1e-3, weight_decay=0.0))
+    batch = _mixed_batch(n=2)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert "language_model" in state.params  # full tree, not adapters
+
+
+def test_train_vlm2vec_cli_synthetic(tmp_path):
+    """End-to-end CLI smoke on the synthetic route: tiny random-init model,
+    LoRA + grad-cache, adapter npz + merged score bundle written, and the
+    merged bundle round-trips through build's loader."""
+    from clip_embeds_tpu.cli.train_vlm2vec import main
+
+    out = os.path.join(tmp_path, "run")
+    rc = main([
+        "--lora", "--lora_r", "2", "--max_steps", "2",
+        "--per_device_train_batch_size", "2", "--grad_cache",
+        "--gc_q_chunk_size", "1", "--logging_steps", "1",
+        "--no_bf16", "--output_dir", out,
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "adapter-final.npz"))
+    from clip_embeds_tpu.scores.build import load_score_bundle
+
+    meta, params = load_score_bundle(os.path.join(out, "merged"))
+    assert meta["family"] == "llava" and "language_model" in params
+
+
+def test_train_vlm2vec_cli_mmeb_route(tmp_path):
+    """CLI over an MMEB-style subset dir (mixed batches route)."""
+    from clip_embeds_tpu.cli.train_vlm2vec import main
+
+    img_path = os.path.join(tmp_path, "im.png")
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (40, 40, 3)).astype(np.uint8)
+    ).save(img_path)
+    rows = [
+        {"qry": "<|image_1|> what is this?", "qry_image_path": "im.png",
+         "pos_text": "a dog", "pos_image_path": ""},
+        {"qry": "find the answer", "qry_image_path": "",
+         "pos_text": "<|image_1|> the image", "pos_image_path": "im.png"},
+    ]
+    with open(os.path.join(tmp_path, "A.json"), "w") as fh:
+        json.dump(rows, fh)
+    out = os.path.join(tmp_path, "run")
+    rc = main([
+        "--lora", "--lora_r", "2", "--max_steps", "2",
+        "--per_device_train_batch_size", "2", "--logging_steps", "1",
+        "--dataset_name", str(tmp_path), "--subset_name", "A",
+        "--image_dir", str(tmp_path), "--no_bf16", "--output_dir", out,
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "adapter-final.npz"))
+
+
 def test_combined_pair_dataset(tmp_path):
     from clip_embeds_tpu.data.mmeb import CombinedPairDataset, pair_batches
 
