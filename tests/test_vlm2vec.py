@@ -207,6 +207,49 @@ def test_train_vlm2vec_cli_mmeb_route(tmp_path):
     assert os.path.exists(os.path.join(out, "adapter-final.npz"))
 
 
+def test_eval_mmeb_cli(tmp_path):
+    """CLI smoke for the MMEB eval driver: tiny random model, fixture
+    subset json, per-subset accuracy + cached embeddings + results.json;
+    also exercises the trained-adapter merge route (train_vlm2vec output
+    npz -> merge_lora before eval)."""
+    from clip_embeds_tpu.cli.eval_mmeb import main as eval_main
+    from clip_embeds_tpu.cli.train_vlm2vec import main as train_main
+
+    img_path = os.path.join(tmp_path, "im.png")
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (40, 40, 3)).astype(np.uint8)
+    ).save(img_path)
+    rows = [
+        {"qry_text": "what is shown?", "qry_img_path": "im.png",
+         "tgt_text": ["a dog", "a cat", "a car"],
+         "tgt_img_path": ["", "", ""]},
+        {"qry_text": "describe it", "qry_img_path": "im.png",
+         "tgt_text": ["something", "nothing"], "tgt_img_path": ["", ""]},
+    ]
+    with open(os.path.join(tmp_path, "Sub.json"), "w") as fh:
+        json.dump(rows, fh)
+
+    run = os.path.join(tmp_path, "run")
+    assert train_main([
+        "--lora", "--lora_r", "2", "--max_steps", "1",
+        "--per_device_train_batch_size", "2", "--no_bf16",
+        "--output_dir", run,
+    ]) == 0
+    cache = os.path.join(tmp_path, "embeds")
+    rc = eval_main([
+        "--checkpoint_path", os.path.join(run, "adapter-final.npz"),
+        "--dataset_name", str(tmp_path), "--subset_name", "Sub",
+        "--image_dir", str(tmp_path), "--encode_output_path", cache,
+        "--per_device_train_batch_size", "2", "--no_bf16",
+    ])
+    assert rc == 0
+    with open(os.path.join(cache, "results.json")) as fh:
+        res = json.load(fh)
+    assert res["subsets"]["Sub"]["num_pred"] == 2
+    assert 0.0 <= res["average"] <= 1.0
+    assert os.path.exists(os.path.join(cache, "Sub_qry"))  # embedding cache
+
+
 def test_combined_pair_dataset(tmp_path):
     from clip_embeds_tpu.data.mmeb import CombinedPairDataset, pair_batches
 
