@@ -89,6 +89,11 @@ def main(argv=None) -> int:
             tokenize, bos_id, pad_id = hf_tokenizer_adapter(
                 AutoTokenizer.from_pretrained(tok_dir)
             )
+        else:
+            log.warning(
+                "bundle %s has NO tokenizer/ subdir — falling back to the "
+                "toy hashed tokenizer; real-checkpoint eval with it "
+                "produces garbage", bundle)
     else:
         log.info("no --model_name bundle: tiny random-init model (smoke)")
         cfg = llava_tiny_config()
@@ -103,10 +108,12 @@ def main(argv=None) -> int:
 
     adapter = model_args.checkpoint_path
     if adapter and adapter.endswith(".npz"):
-        from ..core.factory import unflatten_params
         from ..models.lora import merge_lora
 
-        lora = unflatten_params(dict(np.load(adapter)))
+        # normalize_lora (inside merge_lora) accepts the trainer's npz-flat
+        # layout directly; unmatched keys are a hard error, not a silent
+        # zero-delta merge.
+        lora = dict(np.load(adapter))
         params = merge_lora(params, lora,
                             alpha=float(model_args.lora_alpha))
         log.info("merged LoRA adapter %s (alpha %d)",

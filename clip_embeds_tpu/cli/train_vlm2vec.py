@@ -59,8 +59,12 @@ def _load_subset_rows(path: str):
 
 def _toy_tokenize(text: str):
     """Deterministic fallback tokenizer for synthetic/smoke runs (no
-    bundle tokenizer): hashed whitespace tokens over a small vocab."""
-    return [1] + [2 + (hash(w) % 97) for w in text.split()]
+    bundle tokenizer): crc32-hashed whitespace tokens over a small vocab.
+    crc32, not hash(): hash() is PYTHONHASHSEED-randomized, so cached
+    embeddings/adapters would be inconsistent across processes."""
+    import zlib
+
+    return [1] + [2 + (zlib.crc32(w.encode()) % 97) for w in text.split()]
 
 
 def _synthetic_mixed_batches(
@@ -148,6 +152,11 @@ def main(argv=None) -> int:
             tokenize, bos_id, pad_id = hf_tokenizer_adapter(
                 AutoTokenizer.from_pretrained(tok_dir)
             )
+        else:
+            log.warning(
+                "bundle %s has NO tokenizer/ subdir — falling back to the "
+                "toy hashed tokenizer; real-checkpoint training with it "
+                "produces garbage", ckpt)
     else:
         log.info("no --checkpoint_path: tiny random-init LLaVA (smoke run)")
         cfg = llava_tiny_config()
@@ -160,8 +169,21 @@ def main(argv=None) -> int:
                      np.float32),
         )["params"]
 
+    # -- mesh sizing (before data: the GLOBAL batch is per_device * n_dp,
+    # matching the reference's torchrun semantics where the in-batch
+    # negatives pool is bs * world_size) -----------------------------------
+    n_mp = max(training_args.model_parallel, 1)
+    n_dp = training_args.data_parallel
+    if n_dp == -1:
+        n_dp = len(jax.devices()) // n_mp
+    n_dp = max(n_dp, 1)
+    n_mesh_devices = n_dp * n_mp if n_dp * n_mp > 1 else 1
+
     # -- data ------------------------------------------------------------------
-    bs = training_args.per_device_train_batch_size
+    bs = training_args.per_device_train_batch_size * n_dp
+    if n_dp > 1:
+        log.info("global batch %d = %d per device x %d data-parallel",
+                 bs, training_args.per_device_train_batch_size, n_dp)
     image_size = cfg.vision.image_size
     name = data_args.dataset_name
     if name is None:
@@ -279,12 +301,6 @@ def main(argv=None) -> int:
     # batch sharded over 'data', params replicated (the DDP analogue; the
     # global contrastive matmul IS the negatives gather under pjit)
     mesh = None
-    n_mp = max(training_args.model_parallel, 1)
-    n_dp = training_args.data_parallel
-    if n_dp == -1:
-        n_dp = len(jax.devices()) // n_mp
-    while n_dp > 1 and bs % n_dp:
-        n_dp -= 1  # the batch must tile the data axis
     if n_dp * n_mp > 1:
         from ..parallel.mesh import create_mesh, replicated_sharding
 
@@ -338,7 +354,7 @@ def main(argv=None) -> int:
             dt = time.perf_counter() - t0
             log.info("step %d/%d loss %.4f (%.1f samples/s/chip)",
                      i + 1, total, loss,
-                     bs * (i + 1) / dt / max(len(jax.devices()), 1))
+                     bs * (i + 1) / dt / n_mesh_devices)
         if (i + 1) % training_args.save_steps == 0 and i + 1 < total:
             save_trainable(f"{i + 1:06d}")
 

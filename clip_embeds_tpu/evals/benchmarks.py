@@ -139,7 +139,13 @@ BENCHMARKS = {
 }
 
 
-def get_benchmark(name: str, root_dir: str, **kw) -> BenchmarkDataset:
+def get_benchmark(name: str, root_dir: str, download: bool = False,
+                  **kw) -> BenchmarkDataset:
+    """``download=True`` self-provisions a missing root via the gated
+    download hooks (mirrors the reference's first-use gdown/unzip,
+    t2v_metrics/dataset.py:283-291) — see ``download_benchmark``."""
+    if download and not os.path.isdir(root_dir):
+        download_benchmark(name, root_dir)
     return BENCHMARKS[name.lower()](root_dir, **kw)
 
 
@@ -505,3 +511,62 @@ BENCHMARKS.update({
     "stanford_t23d": StanfordT23D,
     "genai_bench_ranking": GenAIBenchRanking,
 })
+
+
+# -- gated auto-download hooks -------------------------------------------
+#
+# The reference self-provisions benchmark roots at first use via gdown/wget
+# + unzip (t2v_metrics/dataset.py:283-291 Winoground, :392-400 SeeTRUE,
+# :475-480 TIFA160, :619-624 Flickr8K-CF, :711-715 EqBen). This env has
+# zero egress, so the hooks are OFF by default and hard-gated behind
+# CLIP_EMBEDS_ALLOW_DOWNLOAD=1; the fetcher is injectable for tests (the
+# same pattern as core/openclip_registry.download_pretrained).
+
+_GDRIVE_URL = "https://drive.google.com/uc?export=download&id={}"
+
+DOWNLOAD_SOURCES = {
+    # name -> (archive url, archive filename); gdrive ids from the
+    # reference's gdown calls (file:line cited above)
+    "winoground": (_GDRIVE_URL.format("1Lril_90vjsbL_2qOaxMu3I-aPpckCDiF"),
+                   "winoground.zip"),
+    "tifa160_dsg": (_GDRIVE_URL.format("1hHVMeVDZlnJz1FFhy_BxiZGIz1tEMm0s"),
+                    "tifa160.zip"),
+    "flickr8k_cf": (_GDRIVE_URL.format("1WEg-xbUZ971P3Q0RDA8nVfKJrtpjTqCM"),
+                    "flickr8k.zip"),
+    "eqben_mini": (_GDRIVE_URL.format("11YUTf06uzRHtFV8rYi96z4vTPi8_GNEM"),
+                   "eqben_vllm.zip"),
+    "seetrue": ("https://huggingface.co/datasets/yonatanbitton/SeeTRUE/"
+                "resolve/main/images.zip", "images.zip"),
+}
+
+
+def download_benchmark(name: str, root_dir: str, fetch=None) -> str:
+    """Fetch + extract a benchmark's archive into ``root_dir``.
+
+    Refuses unless ``CLIP_EMBEDS_ALLOW_DOWNLOAD=1`` (this build targets
+    zero-egress deployments; the reference downloads unconditionally).
+    ``fetch(url, dest_path)`` is injectable — tests pass a stub; production
+    omits it for urllib. Returns root_dir."""
+    import urllib.request
+    import zipfile
+
+    key = name.lower()
+    if key not in DOWNLOAD_SOURCES:
+        raise KeyError(
+            f"no download source for {key!r} (have: "
+            f"{sorted(DOWNLOAD_SOURCES)}); populate {root_dir} manually")
+    if fetch is None:
+        if os.environ.get("CLIP_EMBEDS_ALLOW_DOWNLOAD") != "1":
+            raise RuntimeError(
+                f"auto-download of {key!r} is disabled (zero-egress "
+                "default); set CLIP_EMBEDS_ALLOW_DOWNLOAD=1 or pre-populate "
+                f"{root_dir}")
+        fetch = urllib.request.urlretrieve
+    url, archive = DOWNLOAD_SOURCES[key]
+    os.makedirs(root_dir, exist_ok=True)
+    dest = os.path.join(root_dir, archive)
+    if not os.path.exists(dest):
+        fetch(url, dest)
+    with zipfile.ZipFile(dest) as zf:
+        zf.extractall(root_dir)
+    return root_dir

@@ -98,18 +98,45 @@ def _cached_encode(encode, pairs, cache_dir, name) -> np.ndarray:
     return reps
 
 
+def _encode_split(
+    pairs: Sequence[Pair], encode_with_image, encode_text_only
+) -> np.ndarray:
+    """Route image-bearing pairs through the image encoder and text-only
+    pairs through the text encoder, preserving order. Each side of an MMEB
+    subset may mix both (e.g. VQA queries with images vs. text answers)."""
+    img_idx = [i for i, (_, im) in enumerate(pairs) if im]
+    txt_idx = [i for i, (_, im) in enumerate(pairs) if not im]
+    reps: list = [None] * len(pairs)
+    if img_idx:
+        out = encode_with_image(
+            [pairs[i][1] for i in img_idx], [pairs[i][0] for i in img_idx]
+        )
+        for j, i in enumerate(img_idx):
+            reps[i] = out[j]
+    if txt_idx:
+        out = encode_text_only([pairs[i][0] for i in txt_idx])
+        for j, i in enumerate(txt_idx):
+            reps[i] = out[j]
+    return np.stack(reps)
+
+
 def make_embedding_encoders(scorer):
-    """Adapt scores.embedding_scorer.EmbeddingScorer to (qry, tgt) encoders."""
+    """Adapt scores.embedding_scorer.EmbeddingScorer to (qry, tgt) encoders.
+
+    Queries with images go through the instruction template
+    (embed_queries); image-bearing *targets* (t2i retrieval subsets) are
+    encoded with their images via embed_image_texts — never silently
+    embedded as text only (VLM2Vec/eval.py encodes both sides with images
+    when present)."""
 
     def encode_queries(pairs: Sequence[Pair]) -> np.ndarray:
-        texts = [t for t, _ in pairs]
-        images = [img for _, img in pairs]
-        if any(images):
-            return scorer.embed_queries(images, texts)
-        return scorer.embed_texts(texts)
+        return _encode_split(
+            pairs, scorer.embed_queries, scorer.embed_texts
+        )
 
     def encode_targets(pairs: Sequence[Pair]) -> np.ndarray:
-        # MMEB targets in the covered tasks are text-only candidates
-        return scorer.embed_texts([t for t, _ in pairs])
+        return _encode_split(
+            pairs, scorer.embed_image_texts, scorer.embed_texts
+        )
 
     return encode_queries, encode_targets

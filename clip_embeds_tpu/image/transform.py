@@ -269,9 +269,12 @@ def image_transform(
     mean = tuple(mean or OPENAI_DATASET_MEAN)
     std = tuple(std or OPENAI_DATASET_STD)
     interpolation = interpolation or "bicubic"
-    # 'random' train interpolation degrades to bicubic at eval (transform.py
-    # :297 comment); at train we also pin bicubic, matching the non-timm path
-    if interpolation == "random":
+    # 'random' is only meaningful inside the timm train branch (timm
+    # RandomResizedCropAndInterpolation picks bilinear/bicubic per image);
+    # everywhere else it degrades to bicubic like the reference
+    # (transform.py:295 InterpolationMode fallback)
+    random_interp = interpolation == "random"
+    if random_interp:
         interpolation = "bicubic"
     assert interpolation in ("bicubic", "bilinear"), interpolation
     resize_mode = resize_mode or "shortest"
@@ -286,11 +289,14 @@ def image_transform(
 
     if is_train:
         if aug.use_timm:
-            # the reachable subset of timm create_transform
-            # (transform.py:305-323): AugmentationCfg has no auto_augment
-            # field, so the timm branch reduces to RRC + always-on
+            # the reachable surface of timm create_transform
+            # (transform.py:305-332): AugmentationCfg has no auto_augment
+            # field, so the timm branch reduces to RRC (+ the
+            # interpolation='random' per-image bilinear/bicubic pick of
+            # RandomResizedCropAndInterpolation) + always-on
             # ColorJitter(f -> (f,f,f)) + normalize + RandomErasing(re_prob,
-            # re_count, mode='pixel'); hflip=0 in the reference call.
+            # re_count, mode='pixel' pinned at :329); hflip=0 in the
+            # reference call.
             scale = tuple(aug.scale)
             ratio = tuple(aug.ratio) if aug.ratio else (3 / 4, 4 / 3)
             cj = aug.color_jitter
@@ -301,8 +307,18 @@ def image_transform(
             def timm_fn(image: ImageLike,
                         rng: np.random.Generator) -> np.ndarray:
                 img = _to_pil(image)
-                img = random_resized_crop(img, rng, out_size, scale, ratio,
-                                          interpolation)
+                # timm RandomResizedCropAndInterpolation order: crop params
+                # first, THEN the per-image interpolation pick
+                w_img, h_img = img.size
+                top, left, h, w = random_resized_crop_params(
+                    rng, h_img, w_img, scale, ratio)
+                interp = interpolation
+                if random_interp:
+                    interp = ("bilinear", "bicubic")[int(rng.integers(2))]
+                img = img.resize(
+                    (out_size, out_size), _PIL_INTERP[interp],
+                    box=(left, top, left + w, top + h),
+                )
                 if cj:
                     img = color_jitter_image(img, rng, *cj[:3])
                 arr = _normalize(np.asarray(img), mean, std)

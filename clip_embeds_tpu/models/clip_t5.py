@@ -53,6 +53,9 @@ class CLIPT5(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant_t5: str = ""  # W8A8 T5 projections ('' | 'dynamic' | 'static');
+    # the vision tower stays fp (its cost amortizes across texts via
+    # encode_images reuse — see scores/vqa_score.py T5VQAScorer)
 
     def setup(self):
         self.vision_tower = VisionTransformer(
@@ -63,7 +66,8 @@ class CLIPT5(nn.Module):
         self.multi_modal_projector = MultiModalProjector(
             self.cfg.t5.d_model, dtype=self.dtype
         )
-        self.t5 = T5ForConditionalGeneration(self.cfg.t5, dtype=self.dtype)
+        self.t5 = T5ForConditionalGeneration(self.cfg.t5, dtype=self.dtype,
+                                             quant=self.quant_t5)
 
     def encode_images(self, pixel_values: jax.Array) -> jax.Array:
         hidden = self.vision_tower(
@@ -86,7 +90,29 @@ class CLIPT5(nn.Module):
         decoder_attention_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Decoder logits [B, T, vocab] teacher-forced on shift_right(labels)."""
-        image_features = self.encode_images(pixel_values)
+        return self.forward_with_features(
+            input_ids, self.encode_images(pixel_values), labels,
+            attention_mask, decoder_attention_mask,
+        )
+
+    def forward_with_features(
+        self,
+        input_ids: jax.Array,                # [B, L] with one sentinel
+        image_features: jax.Array,           # [B, n_image, d_model]
+        labels: jax.Array,                   # [B, T] with IGNORE_INDEX pads
+        attention_mask: Optional[jax.Array] = None,
+        decoder_attention_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Same as ``__call__`` but with PRECOMPUTED image features.
+
+        TPU-first VQAScore split: the CLIP tower + projector output is
+        text-independent, so the m x n broadcast encodes each image ONCE
+        (``encode_images``) and splices the cached features into the n
+        per-text encoder inputs — the reference re-runs the full vision
+        tower per (image, text) pair (t2v_metrics clip_t5_model.py:220-281).
+        The T5 encoder itself is bidirectional (every position attends to
+        the question text), so unlike the LLaVA KV-prefix path nothing
+        further is reusable across texts."""
         n_image = image_features.shape[1]
         safe_ids = jnp.where(input_ids < 0, 0, input_ids)
         text_embeds = self.t5.shared(safe_ids)

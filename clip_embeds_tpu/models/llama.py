@@ -399,9 +399,10 @@ class LlamaModel(nn.Module):
         if self.remat:
             # remat is a training feature; the prefix/sow_kv serving paths
             # never run under it (their non-pytree args would need static
-            # marking under jax.checkpoint)
+            # marking under jax.checkpoint). `decode` (arg 5 counting the
+            # module instance) is a Python bool and must stay static.
             assert prefix_kv is None and not sow_kv
-            block_cls = nn.remat(LlamaBlock)
+            block_cls = nn.remat(LlamaBlock, static_argnums=(5,))
         for i in range(cfg.num_layers):
             if prefix_kv is None and not sow_kv:
                 x = block_cls(cfg, self.dtype, self.attn_impl, self.quant,

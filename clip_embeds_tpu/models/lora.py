@@ -66,6 +66,52 @@ def init_lora(
     return lora_flat
 
 
+def normalize_lora(lora: Dict[str, Any]) -> Dict[str, Any]:
+    """Canonicalize an adapter tree to the flat path-keyed layout
+    ``{"path/to/kernel": {"a": [in, r], "b": [r, out]}}`` that
+    ``init_lora`` produces.
+
+    Accepts any of the three layouts that occur in practice:
+      * canonical (returned by ``init_lora`` / used by the train step);
+      * npz-flat (``np.savez(**flatten_params(lora))`` in
+        cli/train_vlm2vec.py): keys like ``.../kernel/a`` -> array;
+      * fully nested trees (e.g. ``unflatten_params`` of the above).
+    """
+    if not lora:
+        return {}
+    if all(
+        isinstance(v, dict) and set(v) >= {"a", "b"}
+        and not isinstance(v["a"], dict)
+        for v in lora.values()
+    ):
+        return lora
+
+    def flatten(node, prefix, out):
+        for k, v in node.items():
+            key = f"{prefix}/{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                flatten(v, key, out)
+            else:
+                out[key] = v
+
+    flat: Dict[str, Any] = {}
+    flatten(lora, "", flat)
+    grouped: Dict[str, Dict[str, Any]] = {}
+    for key, arr in flat.items():
+        kernel_path, leaf = key.rsplit("/", 1)
+        if leaf not in ("a", "b"):
+            raise ValueError(
+                f"LoRA adapter key {key!r} does not end in /a or /b — "
+                "not a LoRA tree saved by init_lora/train_vlm2vec")
+        grouped.setdefault(kernel_path, {})[leaf] = arr
+    for kernel_path, ab in grouped.items():
+        if set(ab) != {"a", "b"}:
+            raise ValueError(
+                f"LoRA adapter for {kernel_path!r} is missing "
+                f"{sorted({'a', 'b'} - set(ab))}")
+    return grouped
+
+
 def materialize(
     params: Any,
     lora: Dict[str, Any],
@@ -73,20 +119,36 @@ def materialize(
     rank: Optional[int] = None,
     train: bool = True,
 ) -> Any:
-    """Base params (+stop_gradient when training) with LoRA deltas added."""
+    """Base params (+stop_gradient when training) with LoRA deltas added.
+
+    Every adapter key must match a kernel path in ``params`` — a silent
+    zero-delta merge (adapters saved for a different model / layout) is a
+    hard error, matching the reference's peft merge which raises on
+    missing target modules (VLM2Vec/src/model.py:194-203).
+    """
+    lora = normalize_lora(lora)
     if rank is None and lora:
         rank = next(iter(lora.values()))["a"].shape[-1]
     scale = alpha / (rank or 1)
+    matched = set()
 
     def update(path, leaf):
         key = "/".join(_path_names(path))
         if key in lora:
+            matched.add(key)
             base = jax.lax.stop_gradient(leaf) if train else leaf
-            ab = lora[key]["a"] @ lora[key]["b"]
+            ab = jnp.asarray(lora[key]["a"]) @ jnp.asarray(lora[key]["b"])
             return base + scale * ab.astype(leaf.dtype)
         return jax.lax.stop_gradient(leaf) if train else leaf
 
-    return jax.tree_util.tree_map_with_path(update, params)
+    out = jax.tree_util.tree_map_with_path(update, params)
+    unmatched = set(lora) - matched
+    if unmatched:
+        raise ValueError(
+            f"{len(unmatched)}/{len(lora)} LoRA adapter keys matched no "
+            f"param path (would merge zero deltas); first few: "
+            f"{sorted(unmatched)[:3]}")
+    return out
 
 
 def merge_lora(

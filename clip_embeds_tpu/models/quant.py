@@ -96,6 +96,11 @@ LLAMA_QUANT_LAYER_NAMES = (
     "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
     "down_proj",
 )
+# T5 encoder/decoder projections (models/t5.py quant='dynamic'/'static'):
+# self/cross attention q/k/v/o + gated-GELU wi_0/wi_1/wo (plus the 'wi' of
+# the relu variant). Embeddings, T5LayerNorms, relative-position bias and
+# the lm_head stay fp.
+T5_QUANT_LAYER_NAMES = ("q", "k", "v", "o", "wi_0", "wi_1", "wi", "wo")
 
 
 def quantize_dense_tree(params: Any, layer_names=QUANT_LAYER_NAMES) -> Any:
@@ -153,6 +158,18 @@ def quantize_tree_on_device(params: Any, layer_names=QUANT_LAYER_NAMES,
         return {k: walk(v, k) for k, v in node.items()}
 
     return walk(params)
+
+
+def quantize_clip_t5_trunk(params: Any) -> Any:
+    """Quantize ONLY the T5 encoder+decoder of a CLIPT5 param tree (vision
+    tower, projector, shared embedding, norms, lm_head stay fp). Pair with
+    ``CLIPT5(..., quant_t5='dynamic'|'static')``. flan-t5-xl drops from
+    ~5.7 GB bf16 to ~2.9 GB int8; flan-t5-xxl (the reference's DEFAULT
+    VQAScore backbone, 11B) from ~22 GB — which cannot fit one v5e chip —
+    to ~11.2 GB, which fits beside the fp vision tower."""
+    out = dict(params)
+    out["t5"] = quantize_dense_tree(params["t5"], T5_QUANT_LAYER_NAMES)
+    return out
 
 
 def quantize_llava_trunk(params: Any) -> Any:

@@ -317,6 +317,9 @@ class Qwen2VL(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant_llm: str = ""  # W8A8 trunk projections ('' | 'dynamic' | 'static'):
+    # the Qwen2-7B trunk is ~15.2 GB bf16 (does not fit one v5e) vs ~7.9 GB
+    # int8 beside the fp vision tower + untied embed/lm_head
 
     def setup(self):
         self.visual = Qwen2VisionTower(
@@ -324,7 +327,7 @@ class Qwen2VL(nn.Module):
         )
         self.language_model = LlamaForCausalLM(
             self.cfg.text, dtype=self.dtype, attn_impl=self.attn_impl,
-            remat=self.remat,
+            remat=self.remat, quant=self.quant_llm,
         )
 
     def merge(

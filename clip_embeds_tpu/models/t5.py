@@ -93,6 +93,7 @@ class T5Attention(nn.Module):
     has_relative_bias: bool = False
     bidirectional: bool = True
     dtype: Dtype = jnp.float32
+    quant: str = ""  # '' | 'dynamic' | 'static' W8A8 projections (quant.py)
 
     @nn.compact
     def __call__(
@@ -102,15 +103,20 @@ class T5Attention(nn.Module):
         mask: Optional[jax.Array] = None,      # bool [B, 1, Nq, Nk]
         position_bias: Optional[jax.Array] = None,  # [1, H, Nq, Nk]
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        from .quant import dense as make_dense
+
         cfg = self.cfg
         kv = hidden if kv is None else kv
         b, nq, _ = hidden.shape
         nk = kv.shape[1]
         inner = cfg.num_heads * cfg.d_kv
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="q")(hidden)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="k")(kv)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="v")(kv)
+        q = make_dense(self.quant, inner, use_bias=False, dtype=self.dtype,
+                       name="q")(hidden)
+        k = make_dense(self.quant, inner, use_bias=False, dtype=self.dtype,
+                       name="k")(kv)
+        v = make_dense(self.quant, inner, use_bias=False, dtype=self.dtype,
+                       name="v")(kv)
 
         def split(t, n):
             return t.reshape(b, n, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
@@ -142,29 +148,32 @@ class T5Attention(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, inner)
-        out = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype,
-                       name="o")(out)
+        out = make_dense(self.quant, cfg.d_model, use_bias=False,
+                         dtype=self.dtype, name="o")(out)
         return out, position_bias
 
 
 class T5FeedForward(nn.Module):
     cfg: T5Config
     dtype: Dtype = jnp.float32
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from .quant import dense as make_dense
+
         cfg = self.cfg
         if cfg.feed_forward_proj == "gated-gelu":
-            g = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype,
-                         name="wi_0")(x)
-            u = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype,
-                         name="wi_1")(x)
+            g = make_dense(self.quant, cfg.d_ff, use_bias=False,
+                           dtype=self.dtype, name="wi_0")(x)
+            u = make_dense(self.quant, cfg.d_ff, use_bias=False,
+                           dtype=self.dtype, name="wi_1")(x)
             h = jax.nn.gelu(g, approximate=True) * u
         else:
-            h = nn.relu(nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype,
-                                 name="wi")(x))
-        return nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype,
-                        name="wo")(h)
+            h = nn.relu(make_dense(self.quant, cfg.d_ff, use_bias=False,
+                                   dtype=self.dtype, name="wi")(x))
+        return make_dense(self.quant, cfg.d_model, use_bias=False,
+                          dtype=self.dtype, name="wo")(h)
 
 
 class T5Block(nn.Module):
@@ -172,6 +181,7 @@ class T5Block(nn.Module):
     is_decoder: bool = False
     has_relative_bias: bool = False
     dtype: Dtype = jnp.float32
+    quant: str = ""
 
     @nn.compact
     def __call__(
@@ -187,18 +197,20 @@ class T5Block(nn.Module):
                         name="self_ln")(x)
         attn_out, position_bias = T5Attention(
             cfg, self.has_relative_bias, bidirectional=not self.is_decoder,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, quant=self.quant, name="self_attn",
         )(h, mask=self_mask, position_bias=position_bias)
         x = x + attn_out
         if self.is_decoder and encoder_out is not None:
             h = T5LayerNorm(cfg.layer_norm_epsilon, self.dtype,
                             name="cross_ln")(x)
             cross_out, _ = T5Attention(
-                cfg, False, dtype=self.dtype, name="cross_attn",
+                cfg, False, dtype=self.dtype, quant=self.quant,
+                name="cross_attn",
             )(h, kv=encoder_out, mask=cross_mask)
             x = x + cross_out
         h = T5LayerNorm(cfg.layer_norm_epsilon, self.dtype, name="ff_ln")(x)
-        x = x + T5FeedForward(cfg, self.dtype, name="ff")(h)
+        x = x + T5FeedForward(cfg, self.dtype, quant=self.quant,
+                              name="ff")(h)
         return x, position_bias
 
 
@@ -206,6 +218,7 @@ class T5Stack(nn.Module):
     cfg: T5Config
     is_decoder: bool = False
     dtype: Dtype = jnp.float32
+    quant: str = ""
 
     @nn.compact
     def __call__(
@@ -233,7 +246,7 @@ class T5Stack(nn.Module):
         for i in range(layers):
             x, position_bias = T5Block(
                 cfg, self.is_decoder, has_relative_bias=(i == 0),
-                dtype=self.dtype, name=f"block_{i}",
+                dtype=self.dtype, quant=self.quant, name=f"block_{i}",
             )(x, self_mask, position_bias, encoder_out, cross_mask)
         return T5LayerNorm(cfg.layer_norm_epsilon, self.dtype,
                            name="final_ln")(x)
@@ -242,6 +255,7 @@ class T5Stack(nn.Module):
 class T5ForConditionalGeneration(nn.Module):
     cfg: T5Config
     dtype: Dtype = jnp.float32
+    quant: str = ""  # W8A8 encoder+decoder projections; lm_head stays fp
 
     def setup(self):
         self.shared = nn.Embed(
@@ -249,8 +263,10 @@ class T5ForConditionalGeneration(nn.Module):
             embedding_init=nn.initializers.normal(1.0),
             dtype=self.dtype, name="shared",
         )
-        self.encoder = T5Stack(self.cfg, is_decoder=False, dtype=self.dtype)
-        self.decoder = T5Stack(self.cfg, is_decoder=True, dtype=self.dtype)
+        self.encoder = T5Stack(self.cfg, is_decoder=False, dtype=self.dtype,
+                               quant=self.quant)
+        self.decoder = T5Stack(self.cfg, is_decoder=True, dtype=self.dtype,
+                               quant=self.quant)
         if not self.cfg.tie_word_embeddings:
             self.lm_head = nn.Dense(
                 self.cfg.vocab_size, use_bias=False, dtype=self.dtype,

@@ -323,16 +323,24 @@ def build_score_model(
 
     if name in CLIP_T5_MODELS:
         from ..models.clip_t5 import CLIPT5, CLIPT5Config
-        from .score import Score
-        from .vqa_score import T5VQAScorer
+        from .score import T5VQAScore
 
         cfg = model_cfg(CLIPT5Config)
-        model = CLIPT5(cfg, dtype=dtype)
+        quant = kw.pop("quant", None)
+        if quant:
+            # W8A8 T5 trunk: the xxl (11B, the reference default) drops
+            # from ~22 GB bf16 — unservable on one v5e — to ~11.2 GB
+            # (models/quant.py quantize_clip_t5_trunk; bench.py t5 leg)
+            from ..models.quant import quantize_clip_t5_trunk
+
+            model = CLIPT5(cfg, dtype=dtype, quant_t5="dynamic")
+            params = quantize_clip_t5_trunk(params)
+        else:
+            model = CLIPT5(cfg, dtype=dtype)
         tok, _ = need_tokenize(tokenize)
-        scorer = T5VQAScorer(
+        return T5VQAScore(
             model, params, tok,
             conversation_style=conversation or "t5_chat", **kw)
-        return Score(scorer.forward)
 
     if name in INSTRUCTBLIP_MODELS:
         from ..models.instructblip import InstructBlipConfig, InstructBlipT5

@@ -84,6 +84,26 @@ class EmbeddingScorer:
             )[: self.max_len]
             for q in questions
         ]
+        return self._run_image_rows(rows, images)
+
+    def embed_image_texts(
+        self, images: Sequence[ImageLike], texts: Sequence[str]
+    ) -> np.ndarray:
+        """Image+text embeddings for raw texts carrying an ``<image>``
+        placeholder (prepended when absent) — the target-side encoding for
+        t2i-retrieval MMEB subsets (VLM2Vec/eval.py encodes targets with
+        their images; src/dataset.py:197-215 pairs keep img_path)."""
+        texts = [t if "<image>" in t else "<image>\n" + t for t in texts]
+        rows = [
+            tokenizer_image_token(t, self.tokenize, self.bos_token_id)
+            [: self.max_len]
+            for t in texts
+        ]
+        return self._run_image_rows(rows, images)
+
+    def _run_image_rows(
+        self, rows: List[List[int]], images: Sequence[ImageLike]
+    ) -> np.ndarray:
         out = []
         for s in range(0, len(rows), self.batch_size):
             ids, mask = self._pad(rows[s : s + self.batch_size])

@@ -129,6 +129,18 @@ def VQAScore(model, params, tokenize, group_size: int = 8, **kw) -> Score:
                  scorer.forward_groups, group_size=group_size)
 
 
+def T5VQAScore(model, params, tokenize, group_size: int = 8, **kw) -> Score:
+    """VQAScore factory over a JAX CLIP-FlanT5 model — the reference's
+    DEFAULT VQAScore backbone (t2v_metrics/vqascore.py:11 clip-flant5-xxl).
+    The m x n broadcast routes through image-feature reuse: one vision-tower
+    pass per image instead of per (image, text) pair."""
+    from .vqa_score import T5VQAScorer
+
+    scorer = T5VQAScorer(model, params, tokenize, **kw)
+    return Score(scorer.forward, scorer.forward_image_texts,
+                 scorer.forward_groups, group_size=group_size)
+
+
 def InstructBlipVQAScore(model, params, qformer_tokenize, t5_tokenize,
                          **kw) -> Score:
     """VQAScore factory over an InstructBLIP-FlanT5 model

@@ -630,7 +630,15 @@ def t5_tokenizer_image_token(
 class T5VQAScorer:
     """VQAScore over a CLIP-FlanT5 model: encoder takes image+question, the
     decoder teacher-forces the answer; score = exp(-mean CE)
-    (clip_t5_model.py:221-281)."""
+    (clip_t5_model.py:221-281).
+
+    TPU-first m x n split (forward_image_texts / forward_groups): the CLIP
+    vision tower + projector output is text-independent, so each image is
+    encoded ONCE and the cached features are spliced into the n per-text
+    encoder inputs — the reference re-runs the full vision tower per
+    (image, text) pair. The T5 encoder is bidirectional (no KV-prefix trick
+    across texts), so the remaining per-pair cost is the T5 encoder+decoder,
+    batched over pairs."""
 
     def __init__(
         self,
@@ -655,12 +663,8 @@ class T5VQAScorer:
         self.pad_to_multiple = pad_to_multiple
         self.image_size = model.cfg.vision.image_size
 
-        @jax.jit
-        def _scores(params, input_ids, pixels, enc_mask, labels, dec_mask):
-            logits = model.apply(
-                {"params": params}, input_ids, pixels, labels,
-                enc_mask, dec_mask,
-            ).astype(jnp.float32)
+        def _ce_scores(logits, labels):
+            logits = logits.astype(jnp.float32)
             valid = labels != IGNORE_INDEX
             safe = jnp.where(valid, labels, 0)
             logz = jax.nn.logsumexp(logits, axis=-1)
@@ -669,7 +673,33 @@ class T5VQAScorer:
             mean_ce = ce.sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1)
             return jnp.exp(-mean_ce)
 
+        @jax.jit
+        def _scores(params, input_ids, pixels, enc_mask, labels, dec_mask):
+            logits = model.apply(
+                {"params": params}, input_ids, pixels, labels,
+                enc_mask, dec_mask,
+            )
+            return _ce_scores(logits, labels)
+
+        @jax.jit
+        def _encode_images(params, pixels):
+            return model.apply(
+                {"params": params}, pixels, method="encode_images"
+            )
+
+        @jax.jit
+        def _scores_feats(params, input_ids, feats, img_idx, enc_mask,
+                          labels, dec_mask):
+            # feats [k, n_image, d]; img_idx [B] gathers each pair's image
+            logits = model.apply(
+                {"params": params}, input_ids, feats[img_idx], labels,
+                enc_mask, dec_mask, method="forward_with_features",
+            )
+            return _ce_scores(logits, labels)
+
         self._scores = _scores
+        self._encode_images = _encode_images
+        self._scores_feats = _scores_feats
 
     def forward(
         self,
@@ -718,6 +748,91 @@ class T5VQAScorer:
             self.params, jnp.asarray(input_ids), jnp.asarray(pixels),
             jnp.asarray(enc_mask), jnp.asarray(labels), jnp.asarray(dec_mask),
         ))
+
+    # -- image-feature-reuse m x n paths ------------------------------------
+
+    def _tokenize_pairs(self, texts, question_template, answer_template):
+        questions = [
+            format_question_t5(question_template.format(t), self.style)
+            for t in texts
+        ]
+        answers = [answer_template.format(t) for t in texts]
+        q_ids = [
+            t5_tokenizer_image_token(q, self.tokenize)[: self.context_len]
+            for q in questions
+        ]
+        a_ids = [self.tokenize(a)[: self.context_len] for a in answers]
+        return q_ids, a_ids
+
+    def _pairs_with_features(self, feats, img_idx, q_ids, a_ids) -> np.ndarray:
+        """Score pairs (q_ids[p], a_ids[p]) against feats[img_idx[p]],
+        batched; feats stays on device across batches."""
+        n = len(q_ids)
+        out = np.zeros((n,), np.float32)
+        for s in range(0, n, self.batch_size):
+            qs, as_ = q_ids[s : s + self.batch_size], a_ids[s : s + self.batch_size]
+            b = len(qs)
+            m = self.pad_to_multiple
+            qlen = ((max(len(x) for x in qs) + m - 1) // m) * m
+            alen = ((max(len(x) for x in as_) + 7) // 8) * 8
+            input_ids = np.full((b, qlen), self.pad_token_id, np.int32)
+            enc_mask = np.zeros((b, qlen), bool)
+            labels = np.full((b, alen), IGNORE_INDEX, np.int32)
+            dec_mask = np.zeros((b, alen), bool)
+            for i in range(b):
+                input_ids[i, : len(qs[i])] = qs[i]
+                enc_mask[i, : len(qs[i])] = True
+                labels[i, : len(as_[i])] = as_[i]
+                dec_mask[i, : len(as_[i])] = True
+            out[s : s + b] = np.asarray(self._scores_feats(
+                self.params, jnp.asarray(input_ids), feats,
+                jnp.asarray(np.asarray(img_idx[s : s + b], np.int32)),
+                jnp.asarray(enc_mask), jnp.asarray(labels),
+                jnp.asarray(dec_mask),
+            ))
+        return out
+
+    def encode_image_features(self, images: Sequence[ImageLike]):
+        """Vision tower + projector, ONCE per image (device array [k, n, d])."""
+        pixels = preprocess_batch(list(images), self.image_size, "llava")
+        return self._encode_images(self.params, jnp.asarray(pixels))
+
+    def forward_image_texts(
+        self,
+        image: ImageLike,
+        texts: Sequence[str],
+        question_template: str = DEFAULT_QUESTION_TEMPLATE,
+        answer_template: str = DEFAULT_ANSWER_TEMPLATE,
+    ) -> np.ndarray:
+        """One image x n texts: one vision-tower pass + n batched T5 passes."""
+        feats = self.encode_image_features([image])
+        q_ids, a_ids = self._tokenize_pairs(
+            texts, question_template, answer_template)
+        return self._pairs_with_features(
+            feats, [0] * len(texts), q_ids, a_ids)
+
+    def forward_groups(
+        self,
+        images: Sequence[ImageLike],
+        texts_per_image: Sequence[Sequence[str]],
+        question_template: str = DEFAULT_QUESTION_TEMPLATE,
+        answer_template: str = DEFAULT_ANSWER_TEMPLATE,
+    ) -> np.ndarray:
+        """k images x n texts each -> [k, n]: ONE batched vision pass for
+        the k images + batched T5 passes over all k*n pairs."""
+        k = len(images)
+        n = len(texts_per_image[0])
+        assert all(len(t) == n for t in texts_per_image)
+        feats = self.encode_image_features(images)
+        q_ids, a_ids, img_idx = [], [], []
+        for i, texts in enumerate(texts_per_image):
+            qi, ai = self._tokenize_pairs(
+                texts, question_template, answer_template)
+            q_ids.extend(qi)
+            a_ids.extend(ai)
+            img_idx.extend([i] * n)
+        flat = self._pairs_with_features(feats, img_idx, q_ids, a_ids)
+        return flat.reshape(k, n)
 
 
 # -- GPT-4V (API-backed) ------------------------------------------------------

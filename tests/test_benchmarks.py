@@ -392,3 +392,58 @@ def test_t2v_eval_cli_end_to_end(tmp_path):
     # tifa160 data missing -> skipped; the other two produced metrics
     assert set(results) == {"winoground", "sugarcrepe"}
     assert "group" in results["winoground"]
+
+
+def test_download_benchmark_hooks(tmp_path, monkeypatch):
+    """Gated auto-download (reference t2v_metrics/dataset.py:283-291 first-
+    use gdown/unzip): refused by default under zero egress, runs with an
+    injected fetcher, and get_benchmark(download=True) self-provisions."""
+    import zipfile
+
+    from clip_embeds_tpu.evals.benchmarks import (
+        DOWNLOAD_SOURCES,
+        download_benchmark,
+    )
+
+    monkeypatch.delenv("CLIP_EMBEDS_ALLOW_DOWNLOAD", raising=False)
+    with pytest.raises(RuntimeError, match="zero-egress"):
+        download_benchmark("winoground", str(tmp_path / "w"))
+    with pytest.raises(KeyError):
+        download_benchmark("not-a-benchmark", str(tmp_path / "x"))
+
+    # injected fetcher: write a tiny winoground root as the 'archive'
+    fetched = {}
+
+    def fake_fetch(url, dest):
+        fetched["url"] = url
+        rng = np.random.default_rng(0)
+        img_dir = tmp_path / "stage" / "images"
+        os.makedirs(img_dir, exist_ok=True)
+        rows = []
+        for i in range(2):
+            for s in ("0", "1"):
+                Image.fromarray(rng.integers(
+                    0, 255, (16, 16, 3), dtype=np.uint8)
+                ).save(img_dir / f"ex_{i}_img_{s}.png")
+            rows.append({"id": i, "image_0": f"ex_{i}_img_0",
+                         "image_1": f"ex_{i}_img_1",
+                         "caption_0": f"cap a {i}", "caption_1": f"cap b {i}"})
+        with zipfile.ZipFile(dest, "w") as zf:
+            for i in range(2):
+                for s in ("0", "1"):
+                    name = f"images/ex_{i}_img_{s}.png"
+                    zf.write(tmp_path / "stage" / name, name)
+            zf.writestr("examples.jsonl",
+                        "\n".join(json.dumps(r) for r in rows))
+
+    root = tmp_path / "wino"
+    download_benchmark("winoground", str(root), fetch=fake_fetch)
+    assert fetched["url"] == DOWNLOAD_SOURCES["winoground"][0]
+    ds = get_benchmark("winoground", str(root))
+    assert len(ds) == 2 and len(ds[0]["images"]) == 2
+
+    # the gated env flag enables the real (urllib) path; with the archive
+    # already present no network touch happens — extraction only
+    monkeypatch.setenv("CLIP_EMBEDS_ALLOW_DOWNLOAD", "1")
+    download_benchmark("winoground", str(root))
+    assert get_benchmark("winoground", str(root), download=True).exists()

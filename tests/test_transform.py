@@ -251,6 +251,31 @@ def test_train_transform_use_timm_subset():
     assert not np.array_equal(a, plain)
 
 
+def test_train_transform_timm_random_interpolation():
+    """interpolation='random' in the timm branch picks bilinear/bicubic PER
+    IMAGE (timm RandomResizedCropAndInterpolation); outside the timm train
+    branch it degrades to bicubic like the reference (transform.py:295)."""
+    kw = dict(is_train=True,
+              aug_cfg={"use_timm": True, "scale": (0.99, 1.0)})
+    rnd = image_transform(48, interpolation="random", **kw)
+    bic = image_transform(48, interpolation="bicubic", **kw)
+    bil = image_transform(48, interpolation="bilinear", **kw)
+    # same rng stream -> same crop; the interp coin decides which pinned
+    # output each sample matches, and across seeds BOTH must occur
+    matches = set()
+    for seed in range(12):
+        r = rnd(_img(), sample_rng(0, 0, seed))
+        if np.array_equal(r, bic(_img(), sample_rng(0, 0, seed))):
+            matches.add("bicubic")
+        elif np.array_equal(r, bil(_img(), sample_rng(0, 0, seed))):
+            matches.add("bilinear")
+    assert matches == {"bicubic", "bilinear"}, matches
+    # eval path: 'random' pins to bicubic
+    ev_r = image_transform(48, is_train=False, interpolation="random")
+    ev_b = image_transform(48, is_train=False, interpolation="bicubic")
+    np.testing.assert_array_equal(ev_r(_img()), ev_b(_img()))
+
+
 def test_random_erasing_geometry():
     from clip_embeds_tpu.image.transform import random_erasing
 
