@@ -50,6 +50,8 @@ class InstructBlipT5(nn.Module):
     cfg: InstructBlipConfig
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant_t5: str = ""  # W8A8 T5 projections: the xxl's 11B T5 drops from
+    # ~22 GB bf16 to ~11.2 GB, fitting one v5e beside the bf16 EVA-g tower
 
     def setup(self):
         q = self.cfg.qformer
@@ -74,7 +76,18 @@ class InstructBlipT5(nn.Module):
         self.language_projection = nn.Dense(
             self.cfg.t5.d_model, dtype=self.dtype, name="language_projection"
         )
-        self.t5 = T5ForConditionalGeneration(self.cfg.t5, dtype=self.dtype)
+        self.t5 = T5ForConditionalGeneration(self.cfg.t5, dtype=self.dtype,
+                                             quant=self.quant_t5)
+
+    def encode_vision(self, pixel_values: jax.Array) -> jax.Array:
+        """EVA-g tower only — the TEXT-INDEPENDENT part of the stack. The
+        Q-Former conditions on the instruction (which carries the candidate
+        text in VQAScore templates), so unlike CLIP-FlanT5 only the vision
+        tower is cacheable per image in the m x n broadcast — but at
+        EVA-g scale (39 layers x 1408) that is the single largest
+        per-pair FLOPs block the reference re-runs per (image, text)
+        (instructblip_model.py:80-105)."""
+        return self.vision_model(pixel_values)
 
     def query_features(
         self,
@@ -85,7 +98,17 @@ class InstructBlipT5(nn.Module):
         """Projected query outputs [B, Q, d_model] for the T5 encoder prefix
         (instructblip_model.py:80-105: queries + instruction text through the
         Q-Former with image cross-attention, t5_proj of the query slice)."""
-        image_embeds = self.vision_model(pixel_values)
+        return self.query_features_from_embeds(
+            self.vision_model(pixel_values), qformer_input_ids,
+            qformer_attention_mask,
+        )
+
+    def query_features_from_embeds(
+        self,
+        image_embeds: jax.Array,                 # [B, N, W] cached tower out
+        qformer_input_ids: jax.Array,            # [B, Tq]
+        qformer_attention_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
         b = image_embeds.shape[0]
         nq = self.cfg.num_query_tokens
         queries = jnp.broadcast_to(
@@ -118,8 +141,28 @@ class InstructBlipT5(nn.Module):
         """Decoder logits [B, T, vocab] teacher-forced on shift_right(labels)
         (instructblip_model.py:124-133: encoder embeds = [query prefix;
         question embeds], labels mask pads with -100)."""
-        prefix = self.query_features(
-            pixel_values, qformer_input_ids, qformer_attention_mask
+        return self.forward_with_vision(
+            self.vision_model(pixel_values), qformer_input_ids, input_ids,
+            labels, qformer_attention_mask, attention_mask,
+            decoder_attention_mask,
+        )
+
+    def forward_with_vision(
+        self,
+        image_embeds: jax.Array,                 # [B, N, W] cached tower out
+        qformer_input_ids: jax.Array,
+        input_ids: jax.Array,
+        labels: jax.Array,
+        qformer_attention_mask: Optional[jax.Array] = None,
+        attention_mask: Optional[jax.Array] = None,
+        decoder_attention_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """``__call__`` with a PRECOMPUTED vision-tower output: the m x n
+        VQAScore broadcast runs the EVA-g tower once per image and replays
+        its embeddings across the n candidate texts (the Q-Former + T5 still
+        run per pair — they condition on the text)."""
+        prefix = self.query_features_from_embeds(
+            image_embeds, qformer_input_ids, qformer_attention_mask
         )
         b, nq = prefix.shape[:2]
         text_embeds = self.t5.shared(jnp.where(input_ids < 0, 0, input_ids))

@@ -26,6 +26,11 @@ _COLUMN_PARALLEL = (
     "self_attn/v_proj/kernel",
     "mlp/gate_proj/kernel", "mlp/up_proj/kernel",
     "lm_head/kernel",
+    # T5 encoder/decoder (CLIP-FlanT5, the reference's default VQAScore
+    # backbone): per-head q/k/v columns + gated-GELU up-projections
+    "self_attn/q/kernel", "self_attn/k/kernel", "self_attn/v/kernel",
+    "cross_attn/q/kernel", "cross_attn/k/kernel", "cross_attn/v/kernel",
+    "ff/wi_0/kernel", "ff/wi_1/kernel", "ff/wi/kernel",
 )
 _COLUMN_PARALLEL_BIAS = (
     "attn/in_proj/bias",
@@ -36,6 +41,7 @@ _COLUMN_PARALLEL_BIAS = (
 _ROW_PARALLEL = (
     "attn/out_proj/kernel", "mlp/c_proj/kernel",
     "self_attn/o_proj/kernel", "mlp/down_proj/kernel",
+    "self_attn/o/kernel", "cross_attn/o/kernel", "ff/wo/kernel",
 )
 
 

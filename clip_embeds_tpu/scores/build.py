@@ -347,7 +347,16 @@ def build_score_model(
         from .score import InstructBlipVQAScore
 
         cfg = model_cfg(InstructBlipConfig)
-        model = InstructBlipT5(cfg, dtype=dtype)
+        quant = kw.pop("quant", None)
+        if quant:
+            # W8A8 T5 trunk (the EVA-g tower + Q-Former stay fp): the xxl's
+            # 11B T5 drops ~22 -> ~11.2 GB, fitting one v5e
+            from ..models.quant import quantize_clip_t5_trunk
+
+            model = InstructBlipT5(cfg, dtype=dtype, quant_t5="dynamic")
+            params = quantize_clip_t5_trunk(params)
+        else:
+            model = InstructBlipT5(cfg, dtype=dtype)
         t5_tok, _ = need_tokenize(tokenize, "tokenize (T5)")
         q_tok = qformer_tokenize
         if q_tok is None:

@@ -144,13 +144,15 @@ def T5VQAScore(model, params, tokenize, group_size: int = 8, **kw) -> Score:
 def InstructBlipVQAScore(model, params, qformer_tokenize, t5_tokenize,
                          **kw) -> Score:
     """VQAScore factory over an InstructBLIP-FlanT5 model
-    (t2v_metrics instructblip_model.py)."""
+    (t2v_metrics instructblip_model.py). The m x n broadcast caches the
+    EVA-g vision tower per image (the Q-Former/T5 condition on the text,
+    so they run per pair)."""
     from .vqa_score import InstructBlipVQAScorer
 
     scorer = InstructBlipVQAScorer(
         model, params, qformer_tokenize, t5_tokenize, **kw
     )
-    return Score(scorer.forward)
+    return Score(scorer.forward, scorer.forward_image_texts)
 
 
 def CLIPScore(model, params, **kw) -> Score:

@@ -538,7 +538,31 @@ class InstructBlipVQAScorer:
             mean_ce = ce.sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1)
             return jnp.exp(-mean_ce)
 
+        @jax.jit
+        def _encode_vision(params, pixels):
+            return model.apply(
+                {"params": params}, pixels, method="encode_vision"
+            )
+
+        @jax.jit
+        def _scores_vision(params, embeds, img_idx, q_ids, q_mask, t5_ids,
+                           t5_mask, labels, dec_mask):
+            logits = model.apply(
+                {"params": params}, embeds[img_idx], q_ids, t5_ids, labels,
+                q_mask, t5_mask, dec_mask, method="forward_with_vision",
+            ).astype(jnp.float32)
+            valid = labels != IGNORE_INDEX
+            safe = jnp.where(valid, labels, 0)
+            logz = jax.nn.logsumexp(logits, axis=-1)
+            picked = jnp.take_along_axis(
+                logits, safe[..., None], axis=-1)[..., 0]
+            ce = (logz - picked) * valid
+            mean_ce = ce.sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1)
+            return jnp.exp(-mean_ce)
+
         self._scores = _scores
+        self._encode_vision = _encode_vision
+        self._scores_vision = _scores_vision
 
     def forward(
         self,
@@ -591,6 +615,59 @@ class InstructBlipVQAScorer:
             jnp.asarray(q_mask), jnp.asarray(t), jnp.asarray(t_mask),
             jnp.asarray(labels), jnp.asarray(dec_mask),
         ))
+
+    def forward_image_texts(
+        self,
+        image: ImageLike,
+        texts: Sequence[str],
+        question_template: str = INSTRUCTBLIP_QUESTION_TEMPLATE,
+        answer_template: str = INSTRUCTBLIP_ANSWER_TEMPLATE,
+    ) -> np.ndarray:
+        """One image x n texts with the EVA-g tower run ONCE: the Q-Former
+        and T5 condition on the candidate text so they run per pair, but the
+        vision tower (the largest text-independent FLOPs block, 39 layers x
+        1408 wide) is cached — the reference re-runs it per (image, text)
+        (instructblip_model.py:80-105)."""
+        pixels = preprocess_batch([image], self.image_size, "clip")
+        embeds = self._encode_vision(self.params, jnp.asarray(pixels))
+
+        questions = [question_template.format(t) for t in texts]
+        answers = [answer_template.format(t) for t in texts]
+        q_ids = [
+            self.qformer_tokenize(q)[: self.max_txt_len] for q in questions
+        ]
+        t_ids = [self.t5_tokenize(q)[: self.max_txt_len] for q in questions]
+        a_ids = [
+            self.t5_tokenize(a)[: self.max_output_txt_len] for a in answers
+        ]
+        out = np.zeros((len(texts),), np.float32)
+        m = self.pad_to_multiple
+        for s in range(0, len(texts), self.batch_size):
+            e = s + self.batch_size
+            n = len(q_ids[s:e])
+
+            def pad_batch(rows, pad_value, multiple):
+                width = max(len(r) for r in rows)
+                width = ((width + multiple - 1) // multiple) * multiple
+                ids = np.full((n, width), pad_value, np.int32)
+                mask = np.zeros((n, width), bool)
+                for i, r in enumerate(rows):
+                    ids[i, : len(r)] = r
+                    mask[i, : len(r)] = True
+                return ids, mask
+
+            q, q_mask = pad_batch(q_ids[s:e], self.qformer_pad_id, m)
+            t, t_mask = pad_batch(t_ids[s:e], self.t5_pad_id, m)
+            a, dec_mask = pad_batch(a_ids[s:e], 0, 8)
+            labels = np.where(dec_mask, a, IGNORE_INDEX)
+            out[s:e] = np.asarray(self._scores_vision(
+                self.params, embeds,
+                jnp.zeros((n,), jnp.int32),
+                jnp.asarray(q), jnp.asarray(q_mask), jnp.asarray(t),
+                jnp.asarray(t_mask), jnp.asarray(labels),
+                jnp.asarray(dec_mask),
+            ))
+        return out
 
 
 # -- CLIP-FlanT5 (encoder-decoder) ----------------------------------------

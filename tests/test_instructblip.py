@@ -143,3 +143,44 @@ def test_vqa_scorer_pipeline(hf_model):
     # same image + same text -> same score regardless of batch position
     scores2 = scorer.forward([images[1]], ["a dog"])
     np.testing.assert_allclose(scores2[0], scores[1], rtol=1e-5)
+
+
+def test_vision_cache_and_int8(hf_model):
+    """forward_image_texts (EVA tower cached per image) matches the per-pair
+    forward exactly; the W8A8 T5 trunk (quant_t5='dynamic') runs and stays
+    close on the tiny model."""
+    from clip_embeds_tpu.models.quant import quantize_clip_t5_trunk
+    from clip_embeds_tpu.scores.vqa_score import InstructBlipVQAScorer
+
+    model = _jax_model()
+    params = convert_instructblip_state_dict(
+        {k: v for k, v in hf_model.state_dict().items()}
+    )
+
+    def q_tok(text):
+        return [1 + (ord(c) % 99) for c in text][:16]
+
+    def t_tok(text):
+        return [1 + (ord(c) % 255) for c in text][:16]
+
+    scorer = InstructBlipVQAScorer(
+        model, params, qformer_tokenize=q_tok, t5_tokenize=t_tok,
+        batch_size=2,
+    )
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (40, 48, 3)).astype(np.uint8)
+    texts = ["a cat", "a dog", "a house"]
+    ref = scorer.forward([img] * 3, texts)
+    got = scorer.forward_image_texts(img, texts)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    import dataclasses as _dc
+
+    qmodel = _dc.replace(_jax_model(), quant_t5="dynamic")
+    qscorer = InstructBlipVQAScorer(
+        qmodel, quantize_clip_t5_trunk(params), qformer_tokenize=q_tok,
+        t5_tokenize=t_tok, batch_size=2,
+    )
+    q = qscorer.forward([img] * 3, texts)
+    assert np.all((q > 0) & (q <= 1))
+    assert np.abs(q - ref).max() < 0.15
