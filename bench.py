@@ -1351,20 +1351,64 @@ def _bench_vlm2vec(jax, jnp, np):
     )
     params = _build_random_device_params(jax, jnp, model, init_args)
 
-    # -- LoRA + grad-cache train step (while the bf16 tree is fresh) --------
+    # -- embedding-extraction serving (bf16, while the tree is fresh) -------
     try:
-        _progress("vlm2vec train: LoRA init + adamw + grad-cache step compile")
+        _progress("vlm2vec bf16: embed_last_token compile + time")
+        t_emb = _timed_loop_generic(jax, jnp, make_embed_loop(model), params)
+        out["vlm2vec_bf16_embed_per_s"] = round(B / t_emb, 2)
+    except Exception as e:
+        out["vlm2vec_bf16_embed"] = _skip(
+            "13.5 GB bf16 trunk + embed graph over HBM; int8 is the "
+            "single-chip serving path", e)
+
+    # The materialize()-mode bf16 LoRA train step can NEVER run single-chip:
+    # materialize builds delta-added copies of every targeted kernel
+    # (q/k/v/o/gate/up/down x 32 layers ~ 12.5 GB) beside the 13.5 GB base
+    # — ~26 GB against 16 GB HBM. Recorded as a structured skip, not
+    # attempted; the unmaterialized QLoRA-shaped step (below) is the
+    # single-chip training path.
+    out["vlm2vec_train_bf16_materialized"] = _skip(
+        "bf16 base (13.5 GB) + materialize()'d delta kernels (~12.5 GB) "
+        "~ 26 GB > 16 GB v5e HBM; can never run single-chip — the "
+        "unmaterialized int8-base step is the single-chip recipe")
+
+    try:
+        _progress("vlm2vec int8: quantizing trunk on device")
+        lm = dict(params["language_model"])
+        lm["model"] = quantize_tree_on_device(
+            lm["model"], LLAMA_QUANT_LAYER_NAMES, free_source=True)
+        qparams = dict(params, language_model=lm)
+        del params
+        qmodel = Llava(cfg, dtype=jnp.bfloat16, quant_llm="dynamic")
+        _progress("vlm2vec int8: embed_last_token compile + time")
+        t_emb_q = _timed_loop_generic(
+            jax, jnp, make_embed_loop(qmodel), qparams)
+        out["vlm2vec_int8_embed_per_s"] = round(B / t_emb_q, 2)
+    except Exception as e:
+        out["vlm2vec_int8_embed"] = _skip("int8 embed leg failed", e)
+        return out
+
+    # -- QLoRA-shaped train step: frozen W8A8 trunk + unmaterialized LoRA ---
+    # (models/quant.py _lora_delta via the 'lora' collection): the base
+    # kernels are never rewritten, so the whole step is ~6.9 GB weights +
+    # fp32 r16 adapters (~0.4 GB) + remat'd grad-cache chunk activations.
+    # Exactness vs the materialize() step is pinned in
+    # tests/test_vlm2vec.py::test_unmaterialized_train_step_matches_materialized.
+    try:
+        _progress("vlm2vec train: unmaterialized LoRA over int8 trunk")
         import optax
 
         from clip_embeds_tpu.models.lora import init_lora
         from clip_embeds_tpu.train.steps import TrainState
         from clip_embeds_tpu.train.vlm2vec import make_vlm2vec_train_step
 
-        train_model = Llava(cfg, dtype=jnp.bfloat16, remat=True)
-        lora = init_lora(params, rank=16)
+        train_model = Llava(cfg, dtype=jnp.bfloat16, remat=True,
+                            quant_llm="dynamic", lora_rank=16,
+                            lora_alpha=16.0)
+        lora = init_lora(qparams, rank=16)
         state = TrainState.create(lora, optax.adamw(1e-4))
         step = jax.jit(make_vlm2vec_train_step(
-            train_model, params, lora_alpha=16.0, temperature=0.02,
+            train_model, qparams, lora_alpha=16.0, temperature=0.02,
             grad_cache_chunks=4,
         ))
         batch = dict(dev)
@@ -1382,42 +1426,20 @@ def _bench_vlm2vec(jax, jnp, np):
         t_step = max((t3 - t1) / 2, 0.1 * t3 / 3)
         out["vlm2vec_train_samples_per_s"] = round(B / t_step, 2)
         out["vlm2vec_train_shape"] = (
-            f"bs{B} lora_r16 gc_chunks4 qry{Lq}+img tgt{Lt} bf16+remat")
+            f"bs{B} lora_r16 gc_chunks4 qry{Lq}+img tgt{Lt} "
+            "int8-trunk+unmaterialized-lora+remat")
         del state, state2, step, lora
     except Exception as e:
         out["vlm2vec_train"] = _skip(
-            "7B bf16 LoRA grad-cache train step did not fit/compile on one "
-            "16 GB v5e; multi-chip FSDP/TP shards it (dryrun-certified)", e)
+            "unmaterialized-LoRA int8-trunk grad-cache train step did not "
+            "fit/compile on one 16 GB v5e; multi-chip FSDP/TP shards it "
+            "(dryrun-certified)", e)
 
-    # -- embedding-extraction serving ---------------------------------------
-    try:
-        _progress("vlm2vec bf16: embed_last_token compile + time")
-        t_emb = _timed_loop_generic(jax, jnp, make_embed_loop(model), params)
-        out["vlm2vec_bf16_embed_per_s"] = round(B / t_emb, 2)
-    except Exception as e:
-        out["vlm2vec_bf16_embed"] = _skip(
-            "13.5 GB bf16 trunk + embed graph over HBM; int8 is the "
-            "single-chip serving path", e)
-
-    try:
-        _progress("vlm2vec int8: quantizing trunk on device")
-        lm = dict(params["language_model"])
-        lm["model"] = quantize_tree_on_device(
-            lm["model"], LLAMA_QUANT_LAYER_NAMES, free_source=True)
-        qparams = dict(params, language_model=lm)
-        del params
-        qmodel = Llava(cfg, dtype=jnp.bfloat16, quant_llm="dynamic")
-        _progress("vlm2vec int8: embed_last_token compile + time")
-        t_emb_q = _timed_loop_generic(
-            jax, jnp, make_embed_loop(qmodel), qparams)
-        out["vlm2vec_int8_embed_per_s"] = round(B / t_emb_q, 2)
-        for leaf in jax.tree.leaves(qparams):
-            try:
-                leaf.delete()
-            except Exception:
-                pass
-    except Exception as e:
-        out["vlm2vec_int8_embed"] = _skip("int8 embed leg failed", e)
+    for leaf in jax.tree.leaves(qparams):
+        try:
+            leaf.delete()
+        except Exception:
+            pass
     return out
 
 

@@ -127,6 +127,8 @@ class LlamaAttention(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     quant: str = ""  # '' | 'dynamic' | 'static' W8A8 projections (quant.py)
+    lora_rank: int = 0       # unmaterialized LoRA side-path (quant.py dense)
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(
@@ -147,12 +149,16 @@ class LlamaAttention(nn.Module):
         b, n, _ = x.shape
         hd = cfg.head_dim
         qkv_bias = cfg.attention_bias
+        lr, la = self.lora_rank, self.lora_alpha
         q = make_dense(self.quant, cfg.num_heads * hd, use_bias=qkv_bias,
-                       dtype=self.dtype, name="q_proj")(x)
+                       dtype=self.dtype, name="q_proj",
+                       lora_rank=lr, lora_alpha=la)(x)
         k = make_dense(self.quant, cfg.kv_heads * hd, use_bias=qkv_bias,
-                       dtype=self.dtype, name="k_proj")(x)
+                       dtype=self.dtype, name="k_proj",
+                       lora_rank=lr, lora_alpha=la)(x)
         v = make_dense(self.quant, cfg.kv_heads * hd, use_bias=qkv_bias,
-                       dtype=self.dtype, name="v_proj")(x)
+                       dtype=self.dtype, name="v_proj",
+                       lora_rank=lr, lora_alpha=la)(x)
 
         q = q.reshape(b, n, cfg.num_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, n, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
@@ -217,7 +223,8 @@ class LlamaAttention(nn.Module):
             )
             out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.num_heads * hd)
             return make_dense(self.quant, cfg.hidden_size, use_bias=False,
-                              dtype=self.dtype, name="o_proj")(out)
+                              dtype=self.dtype, name="o_proj",
+                              lora_rank=lr, lora_alpha=la)(out)
 
         if decode:
             # autoregressive KV cache (flax 'cache' collection): append this
@@ -269,25 +276,32 @@ class LlamaAttention(nn.Module):
             )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.num_heads * hd)
         return make_dense(self.quant, cfg.hidden_size, use_bias=False,
-                          dtype=self.dtype, name="o_proj")(out)
+                          dtype=self.dtype, name="o_proj",
+                          lora_rank=lr, lora_alpha=la)(out)
 
 
 class LlamaMLP(nn.Module):
     cfg: LlamaConfig
     dtype: Dtype = jnp.float32
     quant: str = ""
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         from .quant import dense as make_dense
 
         cfg = self.cfg
+        lr, la = self.lora_rank, self.lora_alpha
         gate = make_dense(self.quant, cfg.intermediate_size, use_bias=False,
-                          dtype=self.dtype, name="gate_proj")(x)
+                          dtype=self.dtype, name="gate_proj",
+                          lora_rank=lr, lora_alpha=la)(x)
         up = make_dense(self.quant, cfg.intermediate_size, use_bias=False,
-                        dtype=self.dtype, name="up_proj")(x)
+                        dtype=self.dtype, name="up_proj",
+                        lora_rank=lr, lora_alpha=la)(x)
         return make_dense(self.quant, cfg.hidden_size, use_bias=False,
-                          dtype=self.dtype, name="down_proj")(
+                          dtype=self.dtype, name="down_proj",
+                          lora_rank=lr, lora_alpha=la)(
             jax.nn.silu(gate) * up)
 
 
@@ -296,6 +310,8 @@ class LlamaBlock(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     quant: str = ""
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x, cos, sin, kv_mask, decode: bool = False,
@@ -304,13 +320,16 @@ class LlamaBlock(nn.Module):
         h = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                     name="input_layernorm")(x)
         x = x + LlamaAttention(self.cfg, self.dtype, self.attn_impl,
-                               self.quant,
+                               self.quant, lora_rank=self.lora_rank,
+                               lora_alpha=self.lora_alpha,
                                name="self_attn")(h, cos, sin, kv_mask, decode,
                                                  prefix, sow_kv, prefix_mask,
                                                  suffix_block)
         h = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                     name="post_attention_layernorm")(x)
-        return x + LlamaMLP(self.cfg, self.dtype, self.quant, name="mlp")(h)
+        return x + LlamaMLP(self.cfg, self.dtype, self.quant,
+                            lora_rank=self.lora_rank,
+                            lora_alpha=self.lora_alpha, name="mlp")(h)
 
 
 class _ScanLlamaBlock(LlamaBlock):
@@ -336,6 +355,8 @@ class LlamaModel(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     quant: str = ""
+    lora_rank: int = 0       # unmaterialized LoRA over the trunk projections
+    lora_alpha: float = 16.0
     scan_layers: bool = False  # lax.scan over stacked block params: one
     # compiled layer body instead of an L-times unrolled HLO (32x smaller
     # compile for the 7B trunk; params under 'blocks' — stack_llama_params)
@@ -384,13 +405,15 @@ class LlamaModel(nn.Module):
                 in_ax = 0
             scan = nn.scan(
                 _ScanLlamaBlock,
-                variable_axes={"params": 0, "kv": 0, "quant_obs": 0},
+                variable_axes={"params": 0, "kv": 0, "quant_obs": 0,
+                               "lora": 0},
                 split_rngs={"params": True},
                 in_axes=(in_ax, nn.broadcast, nn.broadcast, nn.broadcast,
                          nn.broadcast, nn.broadcast, nn.broadcast),
                 length=cfg.num_layers,
             )
             x, _ = scan(cfg, self.dtype, self.attn_impl, self.quant,
+                        self.lora_rank, self.lora_alpha,
                         name="blocks")(
                 x, scanned, cos, sin, attention_mask, sow_kv, prefix_mask,
                 suffix_block)
@@ -406,10 +429,12 @@ class LlamaModel(nn.Module):
         for i in range(cfg.num_layers):
             if prefix_kv is None and not sow_kv:
                 x = block_cls(cfg, self.dtype, self.attn_impl, self.quant,
+                              self.lora_rank, self.lora_alpha,
                               name=f"layers_{i}")(x, cos, sin, attention_mask,
                                                   decode)
             else:
                 x = block_cls(cfg, self.dtype, self.attn_impl, self.quant,
+                              self.lora_rank, self.lora_alpha,
                               name=f"layers_{i}")(
                     x, cos, sin, attention_mask, decode,
                     None if prefix_kv is None else prefix_kv[i], sow_kv,
@@ -423,6 +448,10 @@ class LlamaForCausalLM(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     quant: str = ""
+    lora_rank: int = 0       # LoRA over trunk projections only (the
+    # reference's target set: q/k/v/o/gate/up/down — embeddings and lm_head
+    # stay frozen, VLM2Vec/src/model.py:108-115)
+    lora_alpha: float = 16.0
     scan_layers: bool = False
 
     def setup(self):
@@ -433,7 +462,7 @@ class LlamaForCausalLM(nn.Module):
         )
         self.model = LlamaModel(
             self.cfg, self.dtype, self.attn_impl, self.remat, self.quant,
-            self.scan_layers, name="model"
+            self.lora_rank, self.lora_alpha, self.scan_layers, name="model"
         )
         if not self.cfg.tie_word_embeddings:
             self.lm_head = nn.Dense(

@@ -137,6 +137,15 @@ class Llava(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     quant_llm: str = ""  # W8A8 trunk projections ('' | 'dynamic' | 'static')
+    lora_rank: int = 0  # unmaterialized LoRA over the trunk projections
+    # (q/k/v/o/gate/up/down; vision tower excluded like the reference's
+    # exclude_modules='.*vision_tower.*', VLM2Vec/src/model.py:114). The
+    # adapters ride in the flax 'lora' collection — pass
+    # {'params': base, 'lora': models.lora.to_collection(flat_lora)} to
+    # apply(); the base kernels (fp OR int8) are never rewritten, so a
+    # QLoRA-shaped recipe (frozen W8A8 trunk + fp32 adapters) trains in
+    # ~7 GB instead of materialize()'s ~26 GB.
+    lora_alpha: float = 16.0
     scan_llm: bool = False  # lax.scan trunk (stack_llava_params layout):
     # 32x smaller HLO for the 7B — compiles in a fraction of the unrolled
     # time over the remote-TPU transport
@@ -154,6 +163,7 @@ class Llava(nn.Module):
         self.language_model = LlamaForCausalLM(
             self.cfg.llama, dtype=self.dtype, attn_impl=self.attn_impl,
             remat=self.remat, quant=self.quant_llm,
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
             scan_layers=self.scan_llm,
         )
 

@@ -35,7 +35,10 @@ def _is_target(
     exclude: Sequence[str],
 ) -> bool:
     names = _path_names(path)
-    if names[-1] != "kernel":
+    # 'kernel' = nn.Dense base; 'kernel_q' = QuantDense W8A8 base (same
+    # [in, out] layout) — adapters over a frozen int8 trunk use the
+    # unmaterialized path (quant.py _lora_delta), never materialize()
+    if names[-1] not in ("kernel", "kernel_q"):
         return False
     if any(e in names for e in exclude):
         return False
@@ -50,7 +53,9 @@ def init_lora(
     exclude: Sequence[str] = ("vision_tower",),
 ) -> Dict[str, Any]:
     """LoRA tree: for each targeted kernel [in, out] -> {'a': [in, r] (gaussian),
-    'b': [r, out] (zeros)} (peft init convention)."""
+    'b': [r, out] (zeros)} (peft init convention). Keys are canonicalized to
+    end in '/kernel' even over a QuantDense ('kernel_q') base so the same
+    adapter file serves fp and int8 trunks."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     lora_flat = {}
@@ -58,12 +63,51 @@ def init_lora(
         if _is_target(path, targets, exclude):
             rng, key = jax.random.split(rng)
             d_in, d_out = leaf.shape
-            lora_flat["/".join(_path_names(path))] = {
+            names = _path_names(path)[:-1] + ("kernel",)
+            lora_flat["/".join(names)] = {
                 "a": jax.random.normal(key, (d_in, rank), jnp.float32)
                 * (1.0 / rank),
                 "b": jnp.zeros((rank, d_out), jnp.float32),
             }
     return lora_flat
+
+
+def to_collection(lora: Dict[str, Any]) -> Dict[str, Any]:
+    """Flat canonical adapter tree -> the nested flax 'lora' variable
+    collection read by the unmaterialized side-path (quant.py _lora_delta):
+    strip the trailing '/kernel' so each {'a', 'b'} pair lands at its Dense
+    module's scope. Usage:
+    ``model.apply({'params': base, 'lora': to_collection(lora)}, ...)`` with
+    ``Llava(..., lora_rank=r)``."""
+    lora = normalize_lora(lora)
+    out: Dict[str, Any] = {}
+    for key, ab in lora.items():
+        parts = key.split("/")
+        if parts[-1] in ("kernel", "kernel_q"):
+            parts = parts[:-1]
+        node = out
+        for p in parts:
+            node = node.setdefault(p, {})
+        node["a"] = jnp.asarray(ab["a"])
+        node["b"] = jnp.asarray(ab["b"])
+    return out
+
+
+def from_collection(tree: Dict[str, Any]) -> Dict[str, Any]:
+    """Nested 'lora' collection -> flat canonical ('path/to/kernel' keyed)."""
+    flat: Dict[str, Any] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict) and set(node) == {"a", "b"} \
+                and not isinstance(node["a"], dict):
+            flat[f"{prefix}/kernel" if prefix else "kernel"] = {
+                "a": node["a"], "b": node["b"]}
+            return
+        for k, v in node.items():
+            walk(v, f"{prefix}/{k}" if prefix else str(k))
+
+    walk(tree, "")
+    return flat
 
 
 def normalize_lora(lora: Dict[str, Any]) -> Dict[str, Any]:
@@ -147,7 +191,10 @@ def materialize(
         raise ValueError(
             f"{len(unmatched)}/{len(lora)} LoRA adapter keys matched no "
             f"param path (would merge zero deltas); first few: "
-            f"{sorted(unmatched)[:3]}")
+            f"{sorted(unmatched)[:3]}. For a quantized (kernel_q) base, "
+            "adapters cannot be materialized — use the unmaterialized "
+            "path: model(..., lora_rank=r) + apply({'params': base, "
+            "'lora': to_collection(lora)}).")
     return out
 
 

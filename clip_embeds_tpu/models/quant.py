@@ -19,6 +19,44 @@ from flax import linen as nn
 Dtype = Any
 
 
+def _lora_delta(module: nn.Module, x: jax.Array, features: int,
+                rank: int, alpha: float) -> jax.Array:
+    """Unmaterialized LoRA side-path: ``scale * (x @ A) @ B`` as two rank-r
+    matmuls, read from the separate flax ``lora`` variable collection so the
+    base kernel (fp OR int8) is never rewritten. This is what lets the
+    reference's QLoRA-shaped recipe (frozen trunk + LoRA adapters,
+    VLM2Vec/src/model.py:97-144) train on one v5e chip: ``materialize``
+    builds a second full set of targeted kernels (base+delta, ~2x trunk HBM),
+    while this path adds only the [in,r]+[r,out] fp32 adapters.
+
+    The collection initializes to zeros (delta == 0: base behavior); real
+    adapters come from ``models.lora.to_collection(init_lora(...))`` passed
+    as ``model.apply({'params': ..., 'lora': ...})``."""
+    a = module.variable(
+        "lora", "a", lambda: jnp.zeros((x.shape[-1], rank), jnp.float32))
+    b = module.variable(
+        "lora", "b", lambda: jnp.zeros((rank, features), jnp.float32))
+    xf = x.astype(jnp.float32)
+    return ((xf @ a.value) @ b.value) * (alpha / rank)
+
+
+class LoraDense(nn.Dense):
+    """nn.Dense plus an unmaterialized LoRA side-path (same param layout as
+    Dense — the adapters live in the 'lora' collection, not 'params')."""
+
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = super().__call__(x)
+        if self.lora_rank > 0:
+            delta = _lora_delta(self, x, self.features, self.lora_rank,
+                                self.lora_alpha)
+            y = (y.astype(jnp.float32) + delta).astype(self.dtype)
+        return y
+
+
 def quantize_weight(kernel: np.ndarray):
     """fp kernel [in, out] -> (int8 kernel, fp32 per-out-channel scale)."""
     kernel = np.asarray(kernel, np.float32)
@@ -41,6 +79,8 @@ class QuantDense(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     mode: str = "dynamic"
+    lora_rank: int = 0       # unmaterialized LoRA over the frozen int8 base
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -75,16 +115,26 @@ class QuantDense(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
+        if self.lora_rank > 0:
+            y = y + _lora_delta(self, x, self.features, self.lora_rank,
+                                self.lora_alpha)
         return y.astype(self.dtype)
 
 
 def dense(quant, features: int, use_bias: bool = True, dtype=jnp.float32,
-          name: Optional[str] = None):
-    """Dense factory: quant in (False/"", True/'dynamic', 'static')."""
+          name: Optional[str] = None, lora_rank: int = 0,
+          lora_alpha: float = 16.0):
+    """Dense factory: quant in (False/"", True/'dynamic', 'static');
+    lora_rank > 0 adds the unmaterialized LoRA side-path (either base)."""
     if quant:
         mode = "static" if quant == "static" else "dynamic"
         return QuantDense(features, use_bias=use_bias, dtype=dtype, mode=mode,
+                          lora_rank=lora_rank, lora_alpha=lora_alpha,
                           name=name)
+    if lora_rank > 0:
+        return LoraDense(features, use_bias=use_bias, dtype=dtype,
+                         lora_rank=lora_rank, lora_alpha=lora_alpha,
+                         name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..losses.clip_loss import embedding_contrastive_loss
 from ..models.llava import Llava
-from ..models.lora import materialize
+from ..models.lora import materialize, normalize_lora, to_collection
 from .grad_cache import cache_grad_step
 from .steps import TrainState
 
@@ -33,16 +33,40 @@ def make_vlm2vec_train_step(
     """Train step over a LoRA adapter tree.
 
     batch: qry_ids/qry_mask/qry_pixels + tgt_ids/tgt_mask (data/mmeb.py).
+
+    Two adapter application modes, keyed off the model:
+      * ``model.lora_rank == 0`` (default): ``materialize`` adds the deltas
+        onto (stop-gradient) copies of the targeted base kernels. Simple,
+        but the delta-added kernels are a SECOND near-full weight tree —
+        at 7B that is ~13.5 + ~12.5 GB and cannot fit one v5e chip.
+      * ``model.lora_rank > 0``: unmaterialized side-path — the base
+        kernels (fp OR W8A8 int8) stay untouched and each targeted Dense
+        adds ``scale*(x@A)@B`` (quant.py _lora_delta). The QLoRA-shaped
+        single-chip recipe: frozen int8 trunk (~6.9 GB) + fp32 adapters.
+        ``state.params`` stays the flat canonical adapter tree either way
+        (same npz export/eval handoff); it is restructured into the flax
+        'lora' collection inside the step (pure tree reshaping, free
+        under jit).
     """
+    unmaterialized = getattr(model, "lora_rank", 0) > 0
 
     def encode(lora, batch):
-        params = materialize(base_params, lora, lora_alpha, train=True)
+        if unmaterialized:
+            variables = {
+                "params": base_params,
+                "lora": to_collection(normalize_lora(lora)),
+            }
+        else:
+            variables = {
+                "params": materialize(
+                    base_params, lora, lora_alpha, train=True)
+            }
         qry = model.apply(
-            {"params": params}, batch["qry_ids"], batch["qry_pixels"],
+            variables, batch["qry_ids"], batch["qry_pixels"],
             batch["qry_mask"], method="embed_last_token",
         )
         tgt = model.apply(
-            {"params": params}, batch["tgt_ids"], None, batch["tgt_mask"],
+            variables, batch["tgt_ids"], None, batch["tgt_mask"],
             method="embed_last_token",
         )
         return {"qry": qry, "tgt": tgt}
@@ -70,17 +94,29 @@ def make_vlm2vec_mixed_train_step(
     (full finetune).
 
     batch keys per side: {qry,tgt}_ids/_mask/_pixels/_image_valid.
+
+    ``model.lora_rank > 0`` selects the unmaterialized adapter side-path
+    (see make_vlm2vec_train_step) — requires ``base_params``.
     """
+    unmaterialized = getattr(model, "lora_rank", 0) > 0
+    if unmaterialized and base_params is None:
+        raise ValueError("model.lora_rank > 0 requires base_params")
 
     def encode(trainable, batch):
-        params = (
-            materialize(base_params, trainable, lora_alpha, train=True)
-            if base_params is not None else trainable
-        )
+        if unmaterialized:
+            variables = {
+                "params": base_params,
+                "lora": to_collection(normalize_lora(trainable)),
+            }
+        elif base_params is not None:
+            variables = {"params": materialize(
+                base_params, trainable, lora_alpha, train=True)}
+        else:
+            variables = {"params": trainable}
 
         def side(prefix: str):
             return model.apply(
-                {"params": params},
+                variables,
                 batch[f"{prefix}_ids"],
                 batch[f"{prefix}_pixels"],
                 batch[f"{prefix}_image_valid"],

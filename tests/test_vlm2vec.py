@@ -560,3 +560,102 @@ def test_vlm2vec_step_with_fsdp_trunk_matches_single_device():
     np.testing.assert_allclose(
         float(m_mesh["loss"]), float(m_ref["loss"]), rtol=2e-5
     )
+
+
+def test_unmaterialized_lora_matches_materialize():
+    """The unmaterialized side-path (quant.py _lora_delta via the 'lora'
+    collection) computes exactly scale*(x@A)@B on top of the base matmul —
+    the same function materialize() folds into the kernels, without the
+    second full weight tree (the 7B single-chip enabler)."""
+    from clip_embeds_tpu.models.lora import materialize, to_collection
+
+    model, base_params = tiny_llava()
+    lora = init_lora(base_params, rank=2, rng=jax.random.PRNGKey(5))
+    lora = {k: {"a": v["a"], "b": v["b"] + 0.05} for k, v in lora.items()}
+    batch = _batch(n=2)
+
+    mat_params = materialize(base_params, lora, alpha=16.0, train=False)
+    ref = model.apply(
+        {"params": mat_params}, batch["qry_ids"], batch["qry_pixels"],
+        batch["qry_mask"], method="embed_last_token",
+    )
+
+    lmodel = Llava(model.cfg, attn_impl="reference", lora_rank=2,
+                   lora_alpha=16.0)
+    got = lmodel.apply(
+        {"params": base_params, "lora": to_collection(lora)},
+        batch["qry_ids"], batch["qry_pixels"], batch["qry_mask"],
+        method="embed_last_token",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    # zero-init collection (what model.init would build) == plain base
+    zeros = jax.tree.map(jnp.zeros_like, to_collection(lora))
+    base_out = model.apply(
+        {"params": base_params}, batch["qry_ids"], batch["qry_pixels"],
+        batch["qry_mask"], method="embed_last_token",
+    )
+    got0 = lmodel.apply(
+        {"params": base_params, "lora": zeros},
+        batch["qry_ids"], batch["qry_pixels"], batch["qry_mask"],
+        method="embed_last_token",
+    )
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(base_out),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_unmaterialized_train_step_matches_materialized():
+    """One train step in unmaterialized mode produces the same loss and the
+    same adapter update as the materialize() mode (they differentiate the
+    same function of the adapters), including under grad-cache chunking."""
+    model, base_params = tiny_llava()
+    lora = init_lora(base_params, rank=2, rng=jax.random.PRNGKey(1))
+    batch = _batch()
+    lmodel = Llava(model.cfg, attn_impl="reference", lora_rank=2,
+                   lora_alpha=16.0)
+
+    for chunks in (0, 2):
+        step_mat = jax.jit(make_vlm2vec_train_step(
+            model, base_params, grad_cache_chunks=chunks))
+        step_unm = jax.jit(make_vlm2vec_train_step(
+            lmodel, base_params, grad_cache_chunks=chunks))
+        s_mat = TrainState.create(lora, adamw(1e-3, weight_decay=0.0))
+        s_unm = TrainState.create(lora, adamw(1e-3, weight_decay=0.0))
+        s_mat, m_mat = step_mat(s_mat, batch)
+        s_unm, m_unm = step_unm(s_unm, batch)
+        np.testing.assert_allclose(float(m_unm["loss"]),
+                                   float(m_mat["loss"]), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5),
+            s_unm.params, s_mat.params)
+
+
+def test_unmaterialized_lora_over_quant_base():
+    """The QLoRA-shaped single-chip recipe: frozen W8A8 trunk + fp32
+    adapters. init_lora targets the int8 'kernel_q' leaves (canonical
+    '/kernel' keys), the train step runs and learns, and materialize() on
+    the quantized base is a hard error pointing at this path."""
+    from clip_embeds_tpu.models.lora import materialize
+    from clip_embeds_tpu.models.quant import quantize_llava_trunk
+
+    model, base_params = tiny_llava()
+    qparams = quantize_llava_trunk(jax.device_get(base_params))
+    lora = init_lora(qparams, rank=2, rng=jax.random.PRNGKey(2))
+    assert lora and all(k.endswith("/kernel") for k in lora)
+    assert set(lora) == set(init_lora(base_params, rank=2))
+
+    qmodel = Llava(model.cfg, attn_impl="reference", quant_llm="dynamic",
+                   lora_rank=2, lora_alpha=16.0)
+    step = jax.jit(make_vlm2vec_train_step(qmodel, qparams))
+    state = TrainState.create(lora, adamw(1e-3, weight_decay=0.0))
+    batch = _batch()
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+    with pytest.raises(ValueError, match="matched no param path"):
+        materialize(qparams, lora)
