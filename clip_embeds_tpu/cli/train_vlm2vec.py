@@ -169,6 +169,21 @@ def main(argv=None) -> int:
                      np.float32),
         )["params"]
 
+    if model_args.quant_base:
+        # QLoRA-shaped single-chip recipe: W8A8 trunk + fp32 adapters
+        # through the unmaterialized side-path (train/vlm2vec.py docstring).
+        if not model_args.lora:
+            raise ValueError("--quant_base requires --lora (the int8 trunk "
+                             "is frozen; only adapters train)")
+        from ..models.quant import quantize_llava_trunk
+
+        base_params = quantize_llava_trunk(jax.device_get(base_params))
+        model = Llava(cfg, dtype=dtype, quant_llm="dynamic", remat=True,
+                      lora_rank=model_args.lora_r,
+                      lora_alpha=float(model_args.lora_alpha))
+        log.info("--quant_base: W8A8 trunk + unmaterialized LoRA r=%d",
+                 model_args.lora_r)
+
     # -- mesh sizing (before data: the GLOBAL batch is per_device * n_dp,
     # matching the reference's torchrun semantics where the in-batch
     # negatives pool is bs * world_size) -----------------------------------
@@ -360,14 +375,23 @@ def main(argv=None) -> int:
 
     save_trainable("final")
     if out_dir and model_args.lora:
-        merged = merge_lora(base_params, jax.device_get(state.params),
-                            alpha=float(model_args.lora_alpha))
-        save_score_bundle(
-            os.path.join(out_dir, "merged"), "llava", cfg, merged,
-            conversation="chat",
-        )
-        log.info("saved merged score bundle -> %s",
-                 os.path.join(out_dir, "merged"))
+        if model_args.quant_base:
+            # int8 kernels cannot absorb fp deltas — serve the adapter
+            # beside the int8 bundle through the unmaterialized path
+            # (Llava(lora_rank=r) + {'params': base, 'lora':
+            # to_collection(adapter)}); adapter-final.npz above is the
+            # artifact.
+            log.info("--quant_base: skipping merged-bundle export (int8 "
+                     "base; serve adapter-final.npz unmaterialized)")
+        else:
+            merged = merge_lora(base_params, jax.device_get(state.params),
+                                alpha=float(model_args.lora_alpha))
+            save_score_bundle(
+                os.path.join(out_dir, "merged"), "llava", cfg, merged,
+                conversation="chat",
+            )
+            log.info("saved merged score bundle -> %s",
+                     os.path.join(out_dir, "merged"))
     return 0
 
 

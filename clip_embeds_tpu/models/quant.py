@@ -29,9 +29,15 @@ def _lora_delta(module: nn.Module, x: jax.Array, features: int,
     builds a second full set of targeted kernels (base+delta, ~2x trunk HBM),
     while this path adds only the [in,r]+[r,out] fp32 adapters.
 
-    The collection initializes to zeros (delta == 0: base behavior); real
-    adapters come from ``models.lora.to_collection(init_lora(...))`` passed
-    as ``model.apply({'params': ..., 'lora': ...})``."""
+    Adapters come from ``models.lora.to_collection(init_lora(...))`` passed
+    as ``model.apply({'params': ..., 'lora': ...})``. A kernel with no
+    entry in the collection is simply not adapted (delta 0) — the adapter
+    TREE defines the target set (e.g. lora_target_modules subsets), the
+    module's lora_rank only enables the side-path. Returns None when this
+    kernel has no adapter (including at model.init, where the collection
+    doesn't exist yet)."""
+    if not module.has_variable("lora", "a"):
+        return None
     a = module.variable(
         "lora", "a", lambda: jnp.zeros((x.shape[-1], rank), jnp.float32))
     b = module.variable(
@@ -53,7 +59,8 @@ class LoraDense(nn.Dense):
         if self.lora_rank > 0:
             delta = _lora_delta(self, x, self.features, self.lora_rank,
                                 self.lora_alpha)
-            y = (y.astype(jnp.float32) + delta).astype(self.dtype)
+            if delta is not None:
+                y = (y.astype(jnp.float32) + delta).astype(self.dtype)
         return y
 
 
@@ -116,8 +123,10 @@ class QuantDense(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
         if self.lora_rank > 0:
-            y = y + _lora_delta(self, x, self.features, self.lora_rank,
+            delta = _lora_delta(self, x, self.features, self.lora_rank,
                                 self.lora_alpha)
+            if delta is not None:
+                y = y + delta
         return y.astype(self.dtype)
 
 

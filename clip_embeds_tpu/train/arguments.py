@@ -58,6 +58,14 @@ class ModelArguments:
     num_crops: int = field(
         default=16, metadata={"help": "HD crops for phi3_v image embedding"}
     )
+    quant_base: bool = field(
+        default=False, metadata={"help": (
+            "rebuild-only: freeze the trunk as W8A8 int8 and train the LoRA "
+            "adapters through the unmaterialized side-path (the QLoRA-shaped "
+            "single-chip recipe; requires --lora). No reference equivalent "
+            "— peft materializes merged weights."
+        )}
+    )
 
     @property
     def lora_targets(self) -> Tuple[str, ...]:

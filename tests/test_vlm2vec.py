@@ -659,3 +659,21 @@ def test_unmaterialized_lora_over_quant_base():
 
     with pytest.raises(ValueError, match="matched no param path"):
         materialize(qparams, lora)
+
+
+def test_train_vlm2vec_cli_quant_base(tmp_path):
+    """--quant_base trains adapters over a frozen W8A8 trunk through the
+    unmaterialized side-path end-to-end; the adapter npz is written and the
+    merged-bundle export is (correctly) skipped for the int8 base."""
+    from clip_embeds_tpu.cli.train_vlm2vec import main
+
+    out = os.path.join(tmp_path, "run")
+    rc = main([
+        "--lora", "--lora_r", "2", "--quant_base", "--max_steps", "2",
+        "--per_device_train_batch_size", "2", "--logging_steps", "1",
+        "--no_bf16", "--output_dir", out,
+    ])
+    assert rc == 0
+    adapter = dict(np.load(os.path.join(out, "adapter-final.npz")))
+    assert adapter  # trained adapters saved
+    assert not os.path.exists(os.path.join(out, "merged"))
