@@ -106,23 +106,41 @@ def main(argv=None) -> int:
                      np.float32),
         )["params"]
 
-    adapter = model_args.checkpoint_path
-    if adapter and adapter.endswith(".npz"):
-        from ..models.lora import merge_lora
+    if model_args.quant_base:
+        # mirror of train_vlm2vec --quant_base: W8A8 trunk, adapters (if
+        # any) served unmaterialized — int8 kernels cannot absorb merged
+        # fp deltas
+        from ..models.quant import quantize_llava_trunk
 
-        # normalize_lora (inside merge_lora) accepts the trainer's npz-flat
-        # layout directly; unmatched keys are a hard error, not a silent
+        params = quantize_llava_trunk(jax.device_get(params))
+        model = Llava(cfg, dtype=dtype, quant_llm="dynamic",
+                      lora_rank=model_args.lora_r,
+                      lora_alpha=float(model_args.lora_alpha))
+        log.info("--quant_base: W8A8 trunk")
+
+    adapter = model_args.checkpoint_path
+    lora_tree = None
+    if adapter and adapter.endswith(".npz"):
+        # normalize_lora accepts the trainer's npz-flat layout directly;
+        # unmatched keys in a merge are a hard error, not a silent
         # zero-delta merge.
         lora = dict(np.load(adapter))
-        params = merge_lora(params, lora,
-                            alpha=float(model_args.lora_alpha))
-        log.info("merged LoRA adapter %s (alpha %d)",
-                 adapter, model_args.lora_alpha)
+        if model_args.quant_base:
+            lora_tree = lora
+            log.info("serving LoRA adapter %s unmaterialized (alpha %d)",
+                     adapter, model_args.lora_alpha)
+        else:
+            from ..models.lora import merge_lora
+
+            params = merge_lora(params, lora,
+                                alpha=float(model_args.lora_alpha))
+            log.info("merged LoRA adapter %s (alpha %d)",
+                     adapter, model_args.lora_alpha)
 
     scorer = EmbeddingScorer(
         model, params, tokenize, bos_token_id=bos_id, pad_token_id=pad_id,
         batch_size=training_args.per_device_train_batch_size,
-        max_len=data_args.max_len,
+        max_len=data_args.max_len, lora=lora_tree,
     )
     encode_queries, encode_targets = make_embedding_encoders(scorer)
 

@@ -36,11 +36,25 @@ class EmbeddingScorer:
         batch_size: int = 8,
         max_len: int = 1024,
         query_template: str = DEFAULT_QUERY_TEMPLATE,
+        lora=None,
     ):
         self.model = model
         # commit params to device once — host arrays would re-upload
         # on every jit call (catastrophic over a remote-TPU tunnel)
-        self.params = jax.device_put(params)
+        variables = {"params": params}
+        if lora is not None:
+            # unmaterialized adapters (flat tree from cli/train_vlm2vec
+            # --quant_base): served through the 'lora' collection beside a
+            # frozen fp/int8 base instead of merge_lora (models/quant.py
+            # _lora_delta)
+            from ..models.lora import normalize_lora, to_collection
+
+            if not getattr(model, "lora_rank", 0):
+                raise ValueError(
+                    "unmaterialized adapters need a model built with "
+                    "lora_rank > 0")
+            variables["lora"] = to_collection(normalize_lora(lora))
+        self.variables = jax.device_put(variables)
         self.tokenize = tokenize
         self.bos_token_id = bos_token_id
         self.pad_token_id = pad_token_id
@@ -50,16 +64,16 @@ class EmbeddingScorer:
         self.image_size = model.cfg.vision.image_size
 
         @jax.jit
-        def _embed_query(params, ids, pixels, mask):
+        def _embed_query(variables, ids, pixels, mask):
             return model.apply(
-                {"params": params}, ids, pixels, mask,
+                variables, ids, pixels, mask,
                 method="embed_last_token",
             )
 
         @jax.jit
-        def _embed_text(params, ids, mask):
+        def _embed_text(variables, ids, mask):
             return model.apply(
-                {"params": params}, ids, None, mask,
+                variables, ids, None, mask,
                 method="embed_last_token",
             )
 
@@ -111,7 +125,7 @@ class EmbeddingScorer:
                 list(images[s : s + self.batch_size]), self.image_size, "llava"
             )
             out.append(np.asarray(self._embed_query(
-                self.params, jnp.asarray(ids), jnp.asarray(pixels),
+                self.variables, jnp.asarray(ids), jnp.asarray(pixels),
                 jnp.asarray(mask),
             )))
         return np.concatenate(out)
@@ -122,7 +136,7 @@ class EmbeddingScorer:
         for s in range(0, len(rows), self.batch_size):
             ids, mask = self._pad(rows[s : s + self.batch_size])
             out.append(np.asarray(self._embed_text(
-                self.params, jnp.asarray(ids), jnp.asarray(mask)
+                self.variables, jnp.asarray(ids), jnp.asarray(mask)
             )))
         return np.concatenate(out)
 

@@ -677,3 +677,59 @@ def test_train_vlm2vec_cli_quant_base(tmp_path):
     adapter = dict(np.load(os.path.join(out, "adapter-final.npz")))
     assert adapter  # trained adapters saved
     assert not os.path.exists(os.path.join(out, "merged"))
+
+
+def test_eval_mmeb_cli_quant_base_round_trip(tmp_path):
+    """The int8 train -> eval loop closes: --quant_base training saves an
+    adapter npz, and --quant_base eval serves it UNMATERIALIZED over the
+    same frozen W8A8 base (merge_lora is impossible on int8 kernels).
+    Also pins that the adapters actually change the embeddings vs the
+    bare quantized base."""
+    from clip_embeds_tpu.cli.eval_mmeb import main as eval_main
+    from clip_embeds_tpu.cli.train_vlm2vec import main as train_main
+
+    img_path = os.path.join(tmp_path, "im.png")
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (40, 40, 3)).astype(np.uint8)
+    ).save(img_path)
+    rows = [
+        {"qry_text": "what is shown?", "qry_img_path": "im.png",
+         "tgt_text": ["a dog", "a cat"], "tgt_img_path": ["", ""]},
+    ]
+    with open(os.path.join(tmp_path, "Sub.json"), "w") as fh:
+        json.dump(rows, fh)
+
+    run = os.path.join(tmp_path, "run")
+    assert train_main([
+        "--lora", "--lora_r", "2", "--quant_base", "--max_steps", "1",
+        "--per_device_train_batch_size", "2", "--no_bf16",
+        "--output_dir", run,
+    ]) == 0
+    cache = os.path.join(tmp_path, "embeds")
+    rc = eval_main([
+        "--checkpoint_path", os.path.join(run, "adapter-final.npz"),
+        "--quant_base", "--lora_r", "2",
+        "--dataset_name", str(tmp_path), "--subset_name", "Sub",
+        "--image_dir", str(tmp_path), "--encode_output_path", cache,
+        "--per_device_train_batch_size", "2", "--no_bf16",
+    ])
+    assert rc == 0
+    with open(os.path.join(cache, "results.json")) as fh:
+        res = json.load(fh)
+    assert res["subsets"]["Sub"]["num_pred"] == 1
+
+    # adapters must move the embeddings vs the bare quantized base
+    import pickle
+
+    with open(os.path.join(cache, "Sub_qry"), "rb") as fh:
+        with_adapter, _ = pickle.load(fh)
+    cache2 = os.path.join(tmp_path, "embeds2")
+    assert eval_main([
+        "--quant_base", "--lora_r", "2",
+        "--dataset_name", str(tmp_path), "--subset_name", "Sub",
+        "--image_dir", str(tmp_path), "--encode_output_path", cache2,
+        "--per_device_train_batch_size", "2", "--no_bf16",
+    ]) == 0
+    with open(os.path.join(cache2, "Sub_qry"), "rb") as fh:
+        without, _ = pickle.load(fh)
+    assert np.abs(np.asarray(with_adapter) - np.asarray(without)).max() > 0
